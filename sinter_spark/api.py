@@ -1,0 +1,165 @@
+"""Top-level API helpers (the ``Sinter`` module surface).
+
+Re-expresses ``/root/reference/lib/sinter.ex``: one-off value helpers
+(``sinter.ex:106-191``), heterogeneous batch (``sinter.ex:210-256``),
+reusable validators (``sinter.ex:279-319``), schema inference
+(``sinter.ex:368-399,470-548``). All funnel through the One True
+Pipeline (``sinter.ex:6-10``) in :mod:`driver_validate`.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from .driver_validate import validate, validate_many as _validate_many_maps
+from .errors import Error
+from .schema import Schema
+
+_TEMP = "__temp__"
+
+
+def _strip_temp(errors: list[Error]) -> list[Error]:
+    """Strip the temp field from error paths (sinter.ex:131-139)."""
+    out = []
+    for e in errors:
+        path = tuple(p for p in e.path if p != _TEMP)
+        out.append(Error(path, e.code, e.message, e.context))
+    return out
+
+
+def validate_type(type_spec: Any, value: Any, *, coerce: bool = False, **constraints):
+    """One-off single-value validation via a temp schema (sinter.ex:106-141)."""
+    schema = Schema.define([(_TEMP, type_spec, constraints)])
+    ok, validated, errors = validate(schema, {_TEMP: value}, coerce=coerce)
+    if ok:
+        return True, validated[_TEMP], []
+    return False, value, _strip_temp(errors)
+
+
+def validate_value(name: str, type_spec: Any, value: Any, *, coerce: bool = False, **constraints):
+    """Named single-value validation (sinter.ex:166-191)."""
+    schema = Schema.define([(name, type_spec, constraints)])
+    ok, validated, errors = validate(schema, {name: value}, coerce=coerce)
+    if ok:
+        return True, validated[name], []
+    return False, value, errors
+
+
+def validate_many_typed(pairs: Sequence[tuple[Any, Any]], *, coerce: bool = False):
+    """Heterogeneous ``(type_spec, value)`` batch (sinter.ex:210-256)."""
+    results = []
+    errs: dict[int, list[Error]] = {}
+    for i, (spec, value) in enumerate(pairs):
+        ok, v, errors = validate_type(spec, value, coerce=coerce)
+        if ok:
+            results.append(v)
+        else:
+            errs[i] = [Error((str(i),) + e.path, e.code, e.message, e.context) for e in errors]
+    if errs:
+        return False, None, errs
+    return True, results, {}
+
+
+def validator_for(schema: Schema, **opts) -> Callable[[Any], tuple]:
+    """Closure capturing a compiled schema for reuse (sinter.ex:279-319)."""
+
+    def _run(data: Any):
+        return validate(schema, data, **opts)
+
+    return _run
+
+
+def batch_validator_for(schema: Schema, **opts) -> Callable[[Iterable[Any]], tuple]:
+    def _run(data_list: Iterable[Any]):
+        return _validate_many_maps(schema, data_list, **opts)
+
+    return _run
+
+
+# ---------------------------------------------------------------------------
+# Schema inference (sinter.ex:368-399, 470-548)
+# ---------------------------------------------------------------------------
+
+
+def _infer_type(value: Any) -> Any:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "integer"
+    if isinstance(value, float):
+        return "float"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, dict):
+        return "map"
+    if isinstance(value, list):
+        elem_types = {repr(_infer_type(v)) for v in value}
+        if len(elem_types) == 1 and value:
+            return ("array", _infer_type(value[0]))
+        return ("array", "any")  # mixed arrays → array of any (sinter.ex:540-546)
+    return "any"
+
+
+def infer_schema(examples: Sequence[Mapping[str, Any]], *, min_occurrence_ratio: float = 0.8) -> Schema:
+    """Field discovery across examples: most-common-type vote; required
+    iff present in ≥ ratio of examples (sinter.ex:368-399,470-548)."""
+    if not examples:
+        return Schema.define([])
+    n = len(examples)
+    presence: Counter[str] = Counter()
+    type_votes: dict[str, Counter] = {}
+    type_values: dict[str, dict[str, Any]] = {}
+    for ex in examples:
+        for key, value in ex.items():
+            key = str(key)
+            presence[key] += 1
+            t = _infer_type(value)
+            type_votes.setdefault(key, Counter())[repr(t)] += 1
+            type_values.setdefault(key, {})[repr(t)] = t
+    field_specs = []
+    for key in presence:
+        winner_repr, _ = type_votes[key].most_common(1)[0]
+        t = type_values[key][winner_repr]
+        required = presence[key] / n >= min_occurrence_ratio
+        field_specs.append((key, t, {"required": required}))
+    return Schema.define(field_specs)
+
+
+def infer_schema_from_df(df, *, sample: int = 1000, min_occurrence_ratio: float = 0.8) -> Schema:
+    """DataFrame census version: one aggregate pass over a sample computing
+    per-column null rates, then map Spark types → specs (SURVEY.md §1.3)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as ST
+
+    sdf = df.limit(sample)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).alias(f"nn_{c}"))
+    row = sdf.agg(*aggs).collect()[0]
+    n = row["__n"] or 1
+
+    def spec_for(dt) -> Any:
+        if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+            return "integer"
+        if isinstance(dt, (ST.FloatType, ST.DoubleType, ST.DecimalType)):
+            return "float"
+        if isinstance(dt, ST.BooleanType):
+            return "boolean"
+        if isinstance(dt, ST.StringType):
+            return "string"
+        if isinstance(dt, ST.ArrayType):
+            return ("array", spec_for(dt.elementType))
+        if isinstance(dt, ST.MapType):
+            return "map"
+        if isinstance(dt, (ST.DateType,)):
+            return "date"
+        if isinstance(dt, (ST.TimestampType,)):
+            return "datetime"
+        return "any"
+
+    field_specs = []
+    for f in df.schema.fields:
+        ratio = (row[f"nn_{f.name}"] or 0) / n
+        field_specs.append((f.name, spec_for(f.dataType), {"required": ratio >= min_occurrence_ratio}))
+    return Schema.define(field_specs)
