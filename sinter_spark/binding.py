@@ -1,0 +1,675 @@
+"""Schema → DataFrame binding: the distributed validation pass.
+
+The Spark lifecycle mirror of the reference's per-map pipeline
+(``/root/reference/lib/sinter/validator.ex:87-105``, SURVEY.md §3):
+
+    Schema.define (driver, pure Python)
+      → bind(schema, df): analysis — resolve columns vs df.schema,
+        strict check, alias coalesce (validator.ex:245-263),
+        coercion exprs (types.ex:417-581)
+      → constraint plan: list of (path, code, violation Column, message)
+      → ONE select producing an array<violation-struct> column
+        (Catalyst fuses every predicate into one whole-stage-codegen
+        projection — the vectorized analogue of sinter's independent
+        per-field checks, validator.ex:199-209)
+      → violations = explode(non-empty arrays)   (error.ex:224-237 shape)
+      → verdicts   = groupBy(spark_partition_id) (validate_many's
+        index-keyed error map generalized, validator.ex:148-181)
+
+Scale notes (100 TB design point):
+* the whole pass is a narrow map — no shuffle except the tiny verdict
+  aggregation (≤ #partitions rows, map-side combined);
+* only referenced columns are read (column pruning keeps `bytes` out of
+  scans that don't decode);
+* custom validators are Arrow-batched pandas UDFs, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as ST
+
+from .errors import VIOLATION_DDL
+from .schema import FieldDef, Schema
+from .types import UUID_RE_JAVA, type_name as py_type_name
+
+VSTRUCT_DDL = "struct<path:array<string>,code:string,message:string,context:map<string,string>>"
+_EMPTY_ARR = f"array<{VSTRUCT_DDL}>"
+
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+
+_INT_TYPES = (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)
+_FLOAT_TYPES = (ST.FloatType, ST.DoubleType, ST.DecimalType)
+
+
+def _dtype_name(dt: ST.DataType) -> str:
+    if isinstance(dt, ST.StringType):
+        return "string"
+    if isinstance(dt, _INT_TYPES):
+        return "integer"
+    if isinstance(dt, _FLOAT_TYPES):
+        return "float"
+    if isinstance(dt, ST.BooleanType):
+        return "boolean"
+    if isinstance(dt, ST.ArrayType):
+        return "list"
+    if isinstance(dt, (ST.MapType, ST.StructType)):
+        return "map"
+    if isinstance(dt, ST.BinaryType):
+        return "binary"
+    if isinstance(dt, ST.DateType):
+        return "date"
+    if isinstance(dt, ST.TimestampType):
+        return "datetime"
+    return dt.simpleString()
+
+
+def _vstruct(path_col: Column, code: str, message: Column | str, context: Column | None = None) -> Column:
+    msg = message if isinstance(message, Column) else F.lit(message)
+    ctx = context if context is not None else F.lit(None)
+    return F.struct(
+        path_col.cast("array<string>").alias("path"),
+        F.lit(code).alias("code"),
+        msg.cast("string").alias("message"),
+        ctx.cast("map<string,string>").alias("context"),
+    )
+
+
+def _path_lit(path: Sequence[str]) -> Column:
+    if not path:
+        return F.array().cast("array<string>")
+    return F.array(*[F.lit(str(p)) for p in path])
+
+
+@dataclass
+class BoundCheck:
+    """One violation emitter: scalar (when cond → one struct) or
+    array-valued (element-level checks emit many structs per row)."""
+
+    column: Column  # nullable struct OR array<struct>
+    is_array: bool = False
+
+
+@dataclass
+class BoundField:
+    name: str
+    value: Column       # resolved (alias-coalesced, coerced) value
+    output: Column      # value with default applied (projection output)
+    checks: list[BoundCheck] = dc_field(default_factory=list)
+
+
+class BindError(ValueError):
+    """Input-format analogue at table grain (validator.ex:185-191):
+    the table's shape can't satisfy the schema at all."""
+
+
+# ---------------------------------------------------------------------------
+# type checks: spec × Spark dtype → static verdict or runtime predicate
+# ---------------------------------------------------------------------------
+
+
+def _type_violation(spec: Any, col: Column, dt: ST.DataType):
+    """Returns None (statically ok) | ("static", code, msg) |
+    ("cond", code, cond, msg). Implements types.ex:119-387 over typed
+    columns: checks that are guaranteed by the column's Spark type are
+    free (no runtime work)."""
+    got = _dtype_name(dt)
+    if isinstance(spec, str):
+        if spec == "any":
+            return None
+        if spec in ("string", "atom"):
+            return None if isinstance(dt, ST.StringType) else ("static", "type", f"expected string, got {got}")
+        if spec == "integer":
+            return None if isinstance(dt, _INT_TYPES) else ("static", "type", f"expected integer, got {got}")
+        if spec == "float":
+            # strict: integer column fails float (types.ex:124)
+            return None if isinstance(dt, _FLOAT_TYPES) else ("static", "type", f"expected float, got {got}")
+        if spec == "boolean":
+            return None if isinstance(dt, ST.BooleanType) else ("static", "type", f"expected boolean, got {got}")
+        if spec == "map":
+            return None if isinstance(dt, (ST.MapType, ST.StructType)) else ("static", "type", f"expected map, got {got}")
+        if spec == "null":
+            return ("cond", "type", col.isNotNull(), f"expected null, got {got}")
+        if spec == "date":
+            if isinstance(dt, ST.DateType):
+                return None
+            if isinstance(dt, ST.StringType):
+                cond = ~(col.rlike(_DATE_RE) & F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).isNotNull())
+                return ("cond", "format", cond, "expected ISO8601 date string")
+            return ("static", "type", f"expected date string, got {got}")
+        if spec == "datetime":
+            if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
+                return None
+            if isinstance(dt, ST.StringType):
+                cond = F.try_to_timestamp(F.replace(col, F.lit("Z"), F.lit("+00:00"))).isNull()
+                return ("cond", "format", cond, "expected ISO8601 datetime string")
+            return ("static", "type", f"expected datetime string, got {got}")
+        if spec == "uuid":
+            if isinstance(dt, ST.StringType):
+                return ("cond", "format", ~col.rlike(UUID_RE_JAVA), "expected UUID string")
+            return ("static", "type", f"expected UUID string, got {got}")
+        raise BindError(f"unknown primitive spec {spec!r}")
+    tag = spec[0]
+    if tag == "literal":
+        expected = spec[1]
+        exp_t = _type_violation(_literal_primitive(expected), col, dt)
+        msg = f"expected literal {expected!r}"
+        if exp_t is not None:
+            return ("static", "literal_mismatch", msg + f", got {got} column")
+        return ("cond", "literal_mismatch", ~col.eqNullSafe(F.lit(expected)), msg)
+    if tag == "nullable":
+        inner = _type_violation(spec[1], col, dt)
+        if inner is None:
+            return None
+        if inner[0] == "static":
+            # non-null values are all the wrong type
+            return ("cond", inner[1], col.isNotNull(), inner[2])
+        return inner  # cond already guarded by caller's isNotNull
+    if tag == "union":
+        # first-match-wins collapses to any-match for pure type checks
+        # (types.ex:742-749): violation iff NO branch accepts the value
+        conds = []
+        for member in spec[1]:
+            r = _type_violation(member, col, dt)
+            if r is None:
+                return None  # some branch statically accepts everything
+            if r[0] == "cond":
+                conds.append(~r[2])
+        if not conds:
+            return ("static", "type", "value does not match any type in union")
+        viol = ~conds[0]
+        for c in conds[1:]:
+            viol = viol & ~c
+        return ("cond", "type", viol, "value does not match any type in union")
+    if tag == "array":
+        if not isinstance(dt, ST.ArrayType):
+            return ("static", "type", f"expected array, got {got}")
+        return None  # element checks handled by _element_checks
+    if tag == "map":
+        if not isinstance(dt, ST.MapType):
+            return ("static", "type", f"expected map, got {got}")
+        return None
+    if tag == "tuple":
+        if not isinstance(dt, ST.StructType):
+            return ("static", "type", f"expected tuple, got {got}")
+        if len(dt.fields) != len(spec[1]):
+            return ("static", "tuple_size", f"expected tuple of size {len(spec[1])}, got {len(dt.fields)}")
+        return None
+    if tag in ("object", "discriminated_union"):
+        if not isinstance(dt, ST.StructType):
+            return ("static", "type", f"expected object, got {got}")
+        return None
+    raise BindError(f"unsupported spec {spec!r}")
+
+
+def _literal_primitive(v: Any) -> str:
+    n = py_type_name(v)
+    return n if n in ("string", "integer", "float", "boolean") else "string"
+
+
+def _pass_pred(spec: Any, col: Column, dt: ST.DataType):
+    """Boolean pass predicate (True/False/Column) for union branches."""
+    r = _type_violation(spec, col, dt)
+    if r is None:
+        return True
+    if r[0] == "static":
+        return False
+    return ~r[2]
+
+
+# ---------------------------------------------------------------------------
+# constraints (§2.3) — vectorized Column predicates
+# ---------------------------------------------------------------------------
+
+
+def _constraint_checks(fd: FieldDef, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[tuple[str, Column, str]]:
+    """(code, violation-cond, message) per applicable constraint.
+    Applicability by column type is static (validator.ex:429-512:
+    incompatible pairs silently skipped)."""
+    out: list[tuple[str, Column, str]] = []
+    cons = fd.constraints
+    is_str = isinstance(dt, ST.StringType)
+    is_arr = isinstance(dt, ST.ArrayType)
+    is_num = isinstance(dt, _INT_TYPES + _FLOAT_TYPES)
+    # Spark length() counts codepoints — matches String.length
+    # (validator.ex:681-682); size() counts array items
+    ln = F.length(value) if is_str else (F.size(value) if is_arr else None)
+    if "min_length" in cons and ln is not None:
+        out.append(("min_length", ln < cons["min_length"], f"must be at least {cons['min_length']} characters/items long"))
+    if "max_length" in cons and ln is not None:
+        out.append(("max_length", ln > cons["max_length"], f"must be at most {cons['max_length']} characters/items long"))
+    if "min_items" in cons and is_arr:
+        out.append(("min_items", F.size(value) < cons["min_items"], f"must contain at least {cons['min_items']} items"))
+    if "max_items" in cons and is_arr:
+        out.append(("max_items", F.size(value) > cons["max_items"], f"must contain at most {cons['max_items']} items"))
+    if is_num:
+        for code, op, phrase in (
+            ("gt", lambda c, t: ~(c > t), "must be greater than"),
+            ("gteq", lambda c, t: ~(c >= t), "must be greater than or equal to"),
+            ("lt", lambda c, t: ~(c < t), "must be less than"),
+            ("lteq", lambda c, t: ~(c <= t), "must be less than or equal to"),
+        ):
+            if code in cons:
+                t = cons[code]
+                out.append((code, op(value, F.lit(t)), f"{phrase} {t}"))
+    if "format" in cons and is_str:
+        pattern = cons["format"].pattern
+        out.append(("format", ~value.rlike(pattern), "does not match required format"))
+    if "choices" in cons:
+        allowed = list(cons["choices"])
+        out.append(("choices", ~value.isin(allowed), f"must be one of: {allowed!r}"))
+    # array min/max_items living on the type spec (schema.ex:665-686)
+    t = fd.type
+    if isinstance(t, tuple) and t[0] == "array" and len(t) == 3 and is_arr:
+        ic = t[2]
+        if "min_items" in ic:
+            out.append(("min_items", F.size(value) < ic["min_items"], f"must contain at least {ic['min_items']} items"))
+        if "max_items" in ic:
+            out.append(("max_items", F.size(value) > ic["max_items"], f"must contain at most {ic['max_items']} items"))
+    return out
+
+
+def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[BoundCheck]:
+    """Per-element runtime checks for array columns, emitting indexed
+    violation paths (types.ex:194-238) without exploding the table:
+    transform+filter builds the violation structs in place."""
+    if not (isinstance(spec, tuple) and spec[0] == "array" and isinstance(dt, ST.ArrayType)):
+        return []
+    inner = spec[1]
+    elem_dt = dt.elementType
+
+    probe = _type_violation(inner, F.lit(None).cast(elem_dt), elem_dt)
+    if probe is None:
+        return []
+    base = _path_lit(path)
+
+    def emit(x: Column, i: Column) -> Column:
+        r = _type_violation(inner, x, elem_dt)
+        p = F.concat(base, F.array(i.cast("string")))
+        if r[0] == "static":
+            return _vstruct(p, r[1], r[2])
+        return F.when(x.isNotNull() & r[2], _vstruct(p, r[1], r[3]))
+
+    arr = F.filter(F.transform(value, emit), lambda s: s.isNotNull())
+    # null array → no element violations
+    arr = F.when(value.isNotNull(), arr).otherwise(F.array().cast(_EMPTY_ARR))
+    return [BoundCheck(arr, is_array=True)]
+
+
+# ---------------------------------------------------------------------------
+# coercion (types.ex:417-581) — try_cast with whole-string strictness
+# ---------------------------------------------------------------------------
+
+
+def _coerce(spec: Any, col: Column, dt: ST.DataType):
+    """Returns (value, new_dtype, checks) — checks carry :coercion
+    violations. Only safe conversions; never raises (types.ex:417)."""
+    checks: list[tuple[str, Column, Column]] = []
+    if isinstance(spec, tuple) and spec[0] == "nullable":
+        return _coerce(spec[1], col, dt)
+    if not isinstance(spec, str):
+        return col, dt, checks
+    if spec == "integer" and isinstance(dt, ST.StringType):
+        ok = col.rlike(r"^[+-]?\d+$")  # whole-string parse (types.ex:428-433)
+        msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to integer"))
+        checks.append(("coercion", col.isNotNull() & ~ok, msg))
+        return F.when(ok, col.cast("long")), ST.LongType(), checks
+    if spec == "float":
+        if isinstance(dt, ST.StringType):
+            ok = col.rlike(r"^[+-]?(\d+)(\.\d+)?([eE][+-]?\d+)?$")
+            msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to float"))
+            checks.append(("coercion", col.isNotNull() & ~ok, msg))
+            return F.when(ok, col.cast("double")), ST.DoubleType(), checks
+        if isinstance(dt, _INT_TYPES):
+            return col.cast("double"), ST.DoubleType(), checks  # int→float ok
+    if spec == "boolean" and isinstance(dt, ST.StringType):
+        ok = col.isin("true", "false")
+        msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to boolean"))
+        checks.append(("coercion", col.isNotNull() & ~ok, msg))
+        return F.when(ok, col == "true"), ST.BooleanType(), checks
+    if spec in ("string", "atom", "uuid", "date", "datetime") and not isinstance(dt, ST.StringType):
+        if isinstance(dt, (ST.BooleanType,) + _INT_TYPES + _FLOAT_TYPES + (ST.DateType, ST.TimestampType)):
+            return col.cast("string"), ST.StringType(), checks
+    return col, dt, checks
+
+
+# ---------------------------------------------------------------------------
+# field binding
+# ---------------------------------------------------------------------------
+
+
+def _bind_field(
+    fd: FieldDef,
+    resolve: Callable[[str], tuple[Column, ST.DataType] | None],
+    path: tuple[str, ...],
+    coerce: bool,
+) -> BoundField:
+    # alias-aware fetch: alias wins when both present (validator.ex:245-263)
+    canonical = resolve(fd.name)
+    aliased = resolve(fd.alias) if fd.alias else None
+    if aliased is not None and canonical is not None:
+        value = F.coalesce(aliased[0], canonical[0])
+        dt = aliased[1]
+    elif aliased is not None:
+        value, dt = aliased
+    elif canonical is not None:
+        value, dt = canonical
+    else:
+        # absent column ≡ all-null (absent≡null at table grain, SURVEY §7.3)
+        if fd.required and fd.default is None:
+            raise BindError(f"required column {fd.name!r} not found in DataFrame")
+        value, dt = F.lit(None).cast("string"), ST.StringType()
+
+    checks: list[BoundCheck] = []
+    fpath = path + (fd.name,)
+    plit = _path_lit(fpath)
+
+    # required: fires on null (missing ≡ null), before default application
+    if fd.required:
+        checks.append(BoundCheck(F.when(value.isNull(), _vstruct(plit, "required", "field is required"))))
+
+    # coercion before type check (validator.ex:310-333)
+    if coerce:
+        value, dt, cchecks = _coerce(fd.type, value, dt)
+        for code, cond, msg in cchecks:
+            checks.append(BoundCheck(F.when(cond, _vstruct(plit, code, msg))))
+
+    guard = value.isNotNull()
+
+    # type check (dispatch per §1.2)
+    spec = fd.type
+    if isinstance(spec, tuple) and spec[0] in ("object", "discriminated_union"):
+        tv = _type_violation(spec, value, dt)
+        if tv is not None and tv[0] == "static":
+            checks.append(BoundCheck(F.when(guard, _vstruct(plit, tv[1], tv[2]))))
+        else:
+            checks.extend(_bind_struct(spec, value, dt, fpath, coerce, guard))
+    else:
+        tv = _type_violation(spec, value, dt)
+        if tv is not None:
+            if tv[0] == "static":
+                checks.append(BoundCheck(F.when(guard, _vstruct(plit, tv[1], tv[2]))))
+            else:
+                checks.append(BoundCheck(F.when(guard & tv[2], _vstruct(plit, tv[1], tv[3]))))
+        checks.extend(_element_checks(spec, value, dt, fpath))
+
+    # constraints on (possibly coerced) value (validator_test.exs:450-464)
+    for code, cond, msg in _constraint_checks(fd, value, dt, fpath):
+        checks.append(BoundCheck(F.when(guard & cond, _vstruct(plit, code, msg))))
+
+    # custom field validators → Arrow-batched pandas UDF (validator.ex:362-408)
+    if fd.validate:
+        err = _custom_validator_udf(fd.validate)(value)
+        cond = guard & err.isNotNull()
+        is_raise = err.startswith("\x00")
+        checks.append(
+            BoundCheck(
+                F.when(
+                    cond,
+                    F.when(
+                        is_raise,
+                        _vstruct(plit, "custom_validation_error", F.substring(err, 2, 1 << 20)),
+                    ).otherwise(
+                        _vstruct(plit, "custom_validation", err, F.create_map(F.lit("value"), value.cast("string"))),
+                    ),
+                )
+            )
+        )
+
+    output = value if fd.default is None else F.coalesce(value, F.lit(fd.default))
+    return BoundField(fd.name, value, output.alias(fd.name), checks)
+
+
+def _bind_struct(spec: tuple, value: Column, dt: ST.StructType, path: tuple, coerce: bool, guard: Column) -> list[BoundCheck]:
+    """Recursive binding over StructType columns: objects
+    (validator.ex:298-308) and discriminated unions (types.ex:334-381,
+    per-variant masks on the discriminator — the vectorized form of
+    variant dispatch)."""
+    checks: list[BoundCheck] = []
+    sub_fields = {f.name: f.dataType for f in dt.fields}
+
+    def resolver(name):
+        if name is None or name not in sub_fields:
+            return None
+        return value.getField(name), sub_fields[name]
+
+    if spec[0] == "object":
+        sub = spec[1]
+        for fd in sub.fields.values():
+            bf = _bind_field(fd, resolver, path, coerce)
+            for c in bf.checks:
+                checks.append(_mask_check(c, guard))
+        return checks
+
+    # discriminated_union
+    disc, variants = spec[1], spec[2]
+    if disc not in sub_fields:
+        checks.append(BoundCheck(F.when(guard, _vstruct(_path_lit(path), "missing_discriminator", f"missing discriminator field '{disc}'"))))
+        return checks
+    dcol = value.getField(disc)
+    keys = [str(k) for k in variants]
+    checks.append(
+        BoundCheck(F.when(guard & dcol.isNull(), _vstruct(_path_lit(path), "missing_discriminator", f"missing discriminator field '{disc}'")))
+    )
+    checks.append(
+        BoundCheck(
+            F.when(
+                guard & dcol.isNotNull() & ~dcol.cast("string").isin(keys),
+                _vstruct(
+                    _path_lit(path),
+                    "unknown_discriminator",
+                    F.concat(F.lit("unknown discriminator value '"), dcol.cast("string"), F.lit("'")),
+                ),
+            )
+        )
+    )
+    for key, vschema in variants.items():
+        mask = guard & dcol.cast("string").eqNullSafe(F.lit(str(key)))
+        for fd in vschema.fields.values():
+            bf = _bind_field(fd, resolver, path, coerce)
+            for c in bf.checks:
+                checks.append(_mask_check(c, mask))
+    return checks
+
+
+def _mask_check(c: BoundCheck, mask: Column) -> BoundCheck:
+    if c.is_array:
+        return BoundCheck(F.when(mask, c.column).otherwise(F.array().cast(_EMPTY_ARR)), is_array=True)
+    return BoundCheck(F.when(mask, c.column))
+
+
+def _custom_validator_udf(validators: list[Callable]):
+    """Vectorized custom-validator chain: fn(value)->None|('error',msg)
+    per element, or a vectorized fn (attr .vectorized) taking a pandas
+    Series → Series of message|None. Short-circuits at first error per
+    value (validator.ex:368-373); raises are wrapped (\\x00 prefix →
+    custom_validation_error, validator.ex:397-408)."""
+    fns = list(validators)
+
+    @F.pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        msgs = pd.Series([None] * len(s), index=s.index, dtype=object)
+        pending = s.notna()
+        for fn in fns:
+            if not pending.any():
+                break
+            if getattr(fn, "vectorized", False):
+                try:
+                    res = fn(s[pending])
+                except Exception as e:  # noqa: BLE001
+                    msgs[pending] = f"\x00field validator raised: {e}"
+                    pending[:] = False
+                    break
+                hit = res.notna()
+                msgs.loc[res.index[hit]] = res[hit]
+                pending.loc[res.index[hit]] = False
+            else:
+                for idx in s.index[pending]:
+                    try:
+                        r = fn(s[idx])
+                    except Exception as e:  # noqa: BLE001
+                        msgs[idx] = f"\x00field validator raised: {e}"
+                        pending[idx] = False
+                        continue
+                    if isinstance(r, tuple) and len(r) == 2 and r[0] == "error":
+                        msgs[idx] = str(r[1])
+                        pending[idx] = False
+        return msgs
+
+    return _run
+
+
+# ---------------------------------------------------------------------------
+# table validation entry point
+# ---------------------------------------------------------------------------
+
+
+class TableValidationResult:
+    """Lazy handles over one validation pass. ``flagged`` carries every
+    source row plus its violation array; everything else derives from it
+    without re-reading the source."""
+
+    def __init__(self, flagged: DataFrame, out_cols: list[str], row_key: str):
+        self.flagged = flagged
+        self._out_cols = out_cols
+        self._row_key = row_key
+
+    @property
+    def violations(self) -> DataFrame:
+        f = self.flagged
+        return (
+            f.where(F.size("__errs") > 0)
+            .select(F.col("__row_key").cast("string").alias("row_key"), F.explode("__errs").alias("e"))
+            .select("row_key", "e.path", "e.code", "e.message", "e.context")
+        )
+
+    @property
+    def validated(self) -> DataFrame:
+        return self.flagged.where(F.size("__errs") == 0).select(*self._out_cols)
+
+    @property
+    def verdicts(self) -> DataFrame:
+        """Per-partition pass/fail + counts (map-side combined: one
+        output row per input partition)."""
+        f = self.flagged
+        return (
+            f.groupBy(F.spark_partition_id().cast("string").alias("part_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.size("__errs")).alias("violations"),
+                F.sum((F.size("__errs") > 0).cast("long")).alias("bad_rows"),
+            )
+            .select(
+                "part_id",
+                (F.col("violations") == 0).alias("pass"),
+                "rows",
+                "violations",
+                F.create_map(
+                    F.lit("violation_rate"),
+                    F.col("bad_rows").cast("double") / F.col("rows"),
+                ).alias("stats"),
+            )
+        )
+
+    def counts_by_code(self) -> DataFrame:
+        return self.violations.groupBy("code").count().orderBy("code")
+
+    def ok(self) -> bool:
+        return self.flagged.where(F.size("__errs") > 0).limit(1).count() == 0
+
+
+def bind(
+    schema: Schema,
+    df: DataFrame,
+    *,
+    row_key: str | Column | None = None,
+    coerce: bool = False,
+    strict: bool | None = None,
+    pre_validate: Callable[[DataFrame], DataFrame] | None = None,
+    post_validate: Any = None,
+) -> TableValidationResult:
+    """Bind a schema to a DataFrame and build the validation plan.
+
+    One projection computes every per-row check; nothing is executed
+    until an action on one of the result handles (compile-once /
+    bind-many, the table analogue of ``validator_for``,
+    sinter.ex:279-319).
+    """
+    # 1. pre_validate hook on the RAW table (validator.ex:614-637)
+    pre = pre_validate or schema.config.pre_validate
+    if pre is not None:
+        df = pre(df)
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    def resolver(name):
+        if name is None or name not in fields:
+            return None
+        return F.col(name), fields[name]
+
+    bound: list[BoundField] = [
+        _bind_field(fd, resolver, (), coerce) for fd in schema.fields.values()
+    ]
+
+    checks: list[BoundCheck] = [c for bf in bound for c in bf.checks]
+
+    # strict: extra columns beyond schema+aliases+row_key → per-row
+    # strict violation (validator.ex:535-565; at table grain every row
+    # has the same extras, but the row-level shape matches the reference)
+    effective_strict = schema.config.strict if strict is None else strict
+    if effective_strict:
+        known = set(schema.fields) | {f.alias for f in schema.fields.values() if f.alias}
+        if isinstance(row_key, str):
+            known.add(row_key)
+        extras = [c for c in df.columns if c not in known]
+        if extras:
+            checks.append(
+                BoundCheck(_vstruct(_path_lit(()), "strict", f"unexpected fields: {extras!r}"))
+            )
+
+    # post_validate: cross-field Column hook (validator.ex:567-612).
+    # Accepts fn(df)->Column[string message|null]  or  (ok Column, msg str)
+    post = post_validate or schema.config.post_validate
+    if post is not None and callable(post):
+        res = post(df)
+        if isinstance(res, tuple) and len(res) == 2:
+            okc, msg = res
+            checks.append(BoundCheck(F.when(~F.coalesce(okc, F.lit(False)), _vstruct(_path_lit(()), "post_validation", msg))))
+        elif isinstance(res, Column):
+            checks.append(BoundCheck(F.when(res.isNotNull(), _vstruct(_path_lit(()), "post_validation", res))))
+        else:
+            raise BindError("table post_validate must return a Column or (Column, message)")
+
+    scalar = [c.column for c in checks if not c.is_array]
+    arrays = [c.column for c in checks if c.is_array]
+    if scalar:
+        err_arr: Column = F.array_compact(F.array(*scalar))
+    else:
+        err_arr = F.array().cast(_EMPTY_ARR)
+    for a in arrays:
+        err_arr = F.concat(err_arr, a)
+
+    if row_key is None:
+        rk: Column = F.monotonically_increasing_id().cast("string")
+    elif isinstance(row_key, str):
+        rk = F.col(row_key)
+    else:
+        rk = row_key
+
+    out_cols = [bf.output for bf in bound]
+    flagged = df.select(
+        rk.alias("__row_key"),
+        *out_cols,
+        err_arr.alias("__errs"),
+    )
+    return TableValidationResult(flagged, [bf.name for bf in bound], "__row_key")
+
+
+def validate_table(schema: Schema, df: DataFrame, **kwargs) -> TableValidationResult:
+    """Alias of :func:`bind` — named for parity with validate_many
+    (validator.ex:148-181)."""
+    return bind(schema, df, **kwargs)
