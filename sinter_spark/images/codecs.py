@@ -1,0 +1,185 @@
+"""Pure-numpy/stdlib image codecs for the image+caption table.
+
+The sandbox has no Pillow/cv2 (SURVEY.md §7.0), so the engine ships
+three self-contained codecs exercising the north-star's
+decoded-pixel invariant (BASELINE.json input_hint: allclose for
+lossless, PSNR ≥ 40 dB for lossy):
+
+* ``raw``  — header + uint8 RGB bytes (lossless)
+* ``png``  — real, spec-conformant minimal PNG via zlib/struct
+             (lossless; filter 0; decodable by any PNG reader)
+* ``qjpg`` — deterministic lossy codec: 6-bit per-channel
+             quantization + zlib (typical PSNR ≈ 47 dB, safely above
+             the 40 dB gate; corruption drops it below or breaks decode)
+
+Decoder dispatch per ``fmt`` is the discriminated-union pattern
+(``/root/reference/lib/sinter/types.ex:334-381``) with ``fmt`` as the
+discriminator.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class DecodeError(ValueError):
+    pass
+
+
+# --- raw --------------------------------------------------------------------
+
+_RAW_MAGIC = b"SRAW"
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return _RAW_MAGIC + struct.pack(">HHB", h, w, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    if len(data) < 9 or data[:4] != _RAW_MAGIC:
+        raise DecodeError("bad raw magic")
+    h, w, c = struct.unpack(">HHB", data[4:9])
+    body = data[9:]
+    if len(body) != h * w * c:
+        raise DecodeError(f"raw payload size mismatch: {len(body)} != {h * w * c}")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+
+
+# --- png (minimal, filter 0) -------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("png encoder supports RGB only")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise DecodeError("bad png signature")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise DecodeError("truncated chunk")
+        crc = data[pos + 8 + length : pos + 12 + length]
+        if len(crc) != 4 or struct.unpack(">I", crc)[0] != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise DecodeError("chunk crc mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise DecodeError("unsupported png variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise DecodeError("missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise DecodeError(f"idat inflate failed: {e}") from e
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise DecodeError("scanline size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    out = rows[:, 1:].reshape(h, w, 3).copy()
+    # we encode filter 0 only; tolerate 1 (Sub) and 2 (Up) for generality
+    for y in range(h):
+        f = filters[y]
+        if f == 0:
+            continue
+        if f == 1:
+            line = out[y].astype(np.int32)
+            for x in range(1, w):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+            out[y] = line.astype(np.uint8)
+        elif f == 2 and y > 0:
+            out[y] = ((out[y].astype(np.int32) + out[y - 1].astype(np.int32)) & 0xFF).astype(np.uint8)
+        else:
+            raise DecodeError(f"unsupported filter {f}")
+    return out
+
+
+# --- qjpg: deterministic lossy ------------------------------------------------
+
+_QJPG_MAGIC = b"QJPG"
+_QBITS = 6  # 6-bit quantization → max err 2, PSNR ≈ 47 dB
+
+
+def encode_qjpg(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    q = (arr.astype(np.uint16) >> (8 - _QBITS)).astype(np.uint8)
+    return (
+        _QJPG_MAGIC
+        + struct.pack(">HHBB", h, w, c, _QBITS)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_qjpg(data: bytes) -> np.ndarray:
+    if len(data) < 10 or data[:4] != _QJPG_MAGIC:
+        raise DecodeError("bad qjpg magic")
+    h, w, c, bits = struct.unpack(">HHBB", data[4:10])
+    try:
+        body = zlib.decompress(data[10:])
+    except zlib.error as e:
+        raise DecodeError(f"qjpg inflate failed: {e}") from e
+    if len(body) != h * w * c:
+        raise DecodeError("qjpg size mismatch")
+    q = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+    # dequantize to bucket midpoints
+    shift = 8 - bits
+    return ((q.astype(np.uint16) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+# --- dispatch + metrics -------------------------------------------------------
+
+ENCODERS = {"raw": encode_raw, "png": encode_png, "qjpg": encode_qjpg}
+DECODERS = {"raw": decode_raw, "png": decode_png, "qjpg": decode_qjpg}
+LOSSY_FMTS = frozenset({"qjpg"})
+
+
+def decode(fmt: str, data: bytes) -> np.ndarray:
+    dec = DECODERS.get(fmt)
+    if dec is None:
+        raise DecodeError(f"unknown fmt '{fmt}'")
+    return dec(data)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,99 @@
+"""The decode-once multi-check Arrow kernel (SURVEY.md §4).
+
+One ``mapInPandas`` pass over Arrow batches implements the per-row
+payload invariant from BASELINE.json: decode ``bytes`` per ``fmt``
+(discriminated-union dispatch, ``/root/reference/lib/sinter/
+types.ex:334-381``), verify decoded pixels against the deterministic
+reference render (exact allclose for lossless fmts, PSNR ≥ 40 dB for
+lossy — the distributed generalization of a custom field validator,
+``validator.ex:362-408``), and check exact caption equality.
+
+Scale notes: decode is the expensive check, so it runs exactly once per
+row and *all* byte-dependent checks share the decoded array; the pass
+is a narrow map (no shuffle); column pruning keeps ``bytes`` out of
+every other pass. Emits violation rows in the reference error-struct
+shape (``error.ex:224-237``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..errors import VIOLATION_DDL
+from . import codecs
+from .synth import expected_caption, render_reference
+
+PSNR_MIN_DB = 40.0
+
+
+def _check_row(image_id, data, w, h, fmt, caption, check_caption: bool) -> list[dict]:
+    out: list[dict] = []
+    rk = image_id
+
+    def v(path, code, message, context=None):
+        out.append(
+            {"row_key": rk, "path": list(path), "code": code, "message": message, "context": context}
+        )
+
+    if data is None:
+        v(["bytes"], "required", "field is required")
+        return out
+    if fmt not in codecs.DECODERS:
+        v(["bytes"], "decode", f"unknown fmt '{fmt}'", {"fmt": str(fmt)})
+        return out
+    try:
+        pixels = codecs.decode(fmt, bytes(data))
+    except codecs.DecodeError as e:
+        v(["bytes"], "decode", f"decode failed: {e}", {"fmt": str(fmt)})
+        return out
+
+    if image_id is not None:
+        ref = render_reference(image_id, pixels.shape[1], pixels.shape[0])
+        if fmt in codecs.LOSSY_FMTS:
+            p = codecs.psnr(pixels, ref)
+            if not p >= PSNR_MIN_DB:
+                v(
+                    ["bytes"],
+                    "psnr",
+                    f"PSNR {p:.2f} dB below {PSNR_MIN_DB:.0f} dB",
+                    {"psnr_db": f"{p:.4f}", "fmt": str(fmt)},
+                )
+        else:
+            if pixels.shape != ref.shape or not np.array_equal(pixels, ref):
+                v(
+                    ["bytes"],
+                    "decode",
+                    "decoded pixels differ from reference render",
+                    {"fmt": str(fmt)},
+                )
+        if check_caption and caption is not None:
+            exp = expected_caption(image_id)
+            if caption != exp:
+                v(
+                    ["caption"],
+                    "caption_mismatch",
+                    "caption differs from reference",
+                    {"expected_len": str(len(exp)), "got_len": str(len(caption))},
+                )
+    return out
+
+
+def decode_violations(df: DataFrame, *, check_caption: bool = True) -> DataFrame:
+    """Violations from the decode/PSNR/caption invariant, one decode per
+    row, Arrow-batched. Input needs columns
+    (image_id, bytes, w, h, fmt, caption)."""
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+
+    def run(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for t in pdf.itertuples(index=False):
+                rows.extend(
+                    _check_row(t.image_id, t.bytes, t.w, t.h, t.fmt, t.caption, check_caption)
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(*cols).mapInPandas(run, VIOLATION_DDL)

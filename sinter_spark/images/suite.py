@@ -1,0 +1,111 @@
+"""Flagship full-suite validation of the image+caption table.
+
+Composes every layer of the engine over the north-star table
+(BASELINE.json): schema/constraint binding (row pass, pure Column
+predicates), the decode/PSNR/caption Arrow kernel, uniqueness on
+image_id and phash (salted two-phase agg), the referential broadcast
+anti-join vs ``fmt_dim``, and KS/PSI drift vs a baseline histogram
+snapshot. This is the job the benchmark times and the scaling-
+efficiency evidence runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..binding import TableValidationResult, bind
+from ..operators.drift import drift_report, drift_violations, histogram
+from ..operators.referential import referential_violations
+from ..operators.uniqueness import uniqueness_violations
+from ..schema import Schema
+
+
+def image_schema() -> Schema:
+    """The sinter schema of the image table (SURVEY.md §7.1 step 2)."""
+    return Schema.define(
+        [
+            ("image_id", "uuid"),
+            ("bytes", "any"),
+            ("w", "integer", {"gt": 0, "lteq": 16384}),
+            ("h", "integer", {"gt": 0, "lteq": 16384}),
+            ("fmt", "string", {"choices": ["raw", "png", "qjpg"]}),
+            ("caption", "string", {"min_length": 1, "max_length": 512}),
+            ("phash", "integer"),
+        ],
+        title="images",
+    )
+
+
+@dataclass
+class ImageSuiteResult:
+    row_result: TableValidationResult
+    violations: DataFrame  # union of every check's violation rows
+    drift: list[dict]
+
+    @property
+    def verdicts(self) -> DataFrame:
+        return self.row_result.verdicts
+
+
+#: (column-or-expr name → (lo, hi)) histogram ranges; bin edges must be
+#: pinned identically between baseline and current run for KS/PSI to
+#: compare like with like.
+DEFAULT_HIST_RANGES = {"w": (0, 4096), "h": (0, 4096), "caption_len": (0, 512)}
+
+
+def validate_images_full(
+    df: DataFrame,
+    fmt_dim_df: DataFrame,
+    *,
+    baseline_hists: DataFrame | None = None,
+    decode: bool = True,
+    check_caption: bool = True,
+    hist_bins: int = 32,
+    hist_ranges: dict | None = None,
+) -> ImageSuiteResult:
+    spark = df.sparkSession
+    res = bind(image_schema(), df, row_key="image_id")
+    parts = [res.violations]
+
+    if decode:
+        from .kernel import decode_violations
+
+        parts.append(decode_violations(df, check_caption=check_caption))
+
+    # uniqueness on image_id (high-cardinality: plain two-phase hash agg)
+    parts.append(uniqueness_violations(df, "image_id"))
+    # phash duplicates only matter when pixels duplicate; same operator
+    parts.append(uniqueness_violations(df, "phash"))
+    # referential: fmt must exist in the dimension (broadcast anti-join)
+    parts.append(referential_violations(df, fmt_dim_df, "fmt", row_key="image_id"))
+
+    drift = []
+    if baseline_hists is not None:
+        cur = _image_histograms(df, hist_bins, hist_ranges or DEFAULT_HIST_RANGES)
+        drift = drift_report(cur, baseline_hists, bins=hist_bins)
+        parts.append(drift_violations(spark, drift))
+
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
+    return ImageSuiteResult(res, violations, drift)
+
+
+def _image_histograms(df: DataFrame, hist_bins: int, ranges: dict) -> DataFrame:
+    lo_w, hi_w = ranges["w"]
+    lo_h, hi_h = ranges["h"]
+    lo_c, hi_c = ranges["caption_len"]
+    return (
+        histogram(df, "w", bins=hist_bins, lo=lo_w, hi=hi_w)
+        .unionByName(histogram(df, "h", bins=hist_bins, lo=lo_h, hi=hi_h))
+        .unionByName(
+            histogram(df, F.length("caption"), bins=hist_bins, lo=lo_c, hi=hi_c, name="caption_len")
+        )
+    )
+
+
+def baseline_histograms(df: DataFrame, *, hist_bins: int = 32, hist_ranges: dict | None = None) -> DataFrame:
+    """Snapshot a clean table's histograms as the drift baseline."""
+    return _image_histograms(df, hist_bins, hist_ranges or DEFAULT_HIST_RANGES)

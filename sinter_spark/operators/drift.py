@@ -1,0 +1,115 @@
+"""Distribution-drift checks: fixed-bin histograms + two-sample KS / PSI.
+
+north_star: "distribution drift via two-sample KS and PSI on histograms
+of w/h/caption-length against a baseline snapshot". The heavy part —
+binning + counting — is a distributed groupBy over ≤ ``bins`` keys
+(map-side combined, trivially small shuffle); KS = max |ECDF diff| and
+PSI = Σ (p−q)·ln(p/q) run on the collected histograms in numpy
+(SURVEY.md §2.8). Baselines are plain DataFrames/parquet so a clean
+run's snapshot replays as the next run's reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def histogram(df: DataFrame, col, *, bins: int = 32, lo: float | None = None, hi: float | None = None, name: str | None = None) -> DataFrame:
+    """(column, bin, count) fixed-width histogram. When lo/hi omitted,
+    a first cheap min/max pass fixes the range (two scans total —
+    acceptable because only `col` is read, never wide payloads)."""
+    c = F.col(col) if isinstance(col, str) else col
+    label = name or (col if isinstance(col, str) else "expr")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).cast("double").alias("lo"), F.max(c).cast("double").alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:  # all-null column
+            lo, hi = 0.0, 1.0
+    width = (float(hi) - float(lo)) / bins or 1.0
+    b = F.least(
+        F.greatest(F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.lit(label).alias("column"), "bin", "count")
+    )
+
+
+def _to_probs(hist: dict[int, int], bins: int, eps: float = 1e-9) -> np.ndarray:
+    arr = np.array([hist.get(i, 0) for i in range(bins)], dtype=np.float64)
+    total = arr.sum()
+    if total == 0:
+        return np.full(bins, 1.0 / bins)
+    return np.clip(arr / total, eps, None)
+
+
+def ks_statistic(cur: dict[int, int], base: dict[int, int], bins: int) -> float:
+    p = _to_probs(cur, bins)
+    q = _to_probs(base, bins)
+    return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+
+
+def psi(cur: dict[int, int], base: dict[int, int], bins: int) -> float:
+    p = _to_probs(cur, bins)
+    q = _to_probs(base, bins)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def _hist_dict(hdf: DataFrame) -> dict[str, dict[int, int]]:
+    out: dict[str, dict[int, int]] = {}
+    for r in hdf.collect():
+        out.setdefault(r["column"], {})[r["bin"]] = r["count"]
+    return out
+
+
+def drift_report(
+    current: DataFrame,
+    baseline: DataFrame,
+    *,
+    bins: int = 32,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.25,
+) -> list[dict]:
+    """Compare two (column, bin, count) histogram tables; one dict per
+    column with ks/psi + pass verdicts."""
+    cur = _hist_dict(current)
+    base = _hist_dict(baseline)
+    report = []
+    for col in sorted(set(cur) | set(base)):
+        ks = ks_statistic(cur.get(col, {}), base.get(col, {}), bins)
+        p = psi(cur.get(col, {}), base.get(col, {}), bins)
+        report.append(
+            {
+                "column": col,
+                "ks": ks,
+                "psi": p,
+                "ks_pass": ks <= ks_threshold,
+                "psi_pass": p <= psi_threshold,
+            }
+        )
+    return report
+
+
+def drift_violations(spark, report: list[dict]) -> DataFrame:
+    """Table-level violation rows (code 'drift') for failed columns."""
+    rows = [
+        (
+            None,
+            [r["column"]],
+            "drift",
+            f"distribution drift on {r['column']}: KS={r['ks']:.4f} PSI={r['psi']:.4f}",
+            {"ks": f"{r['ks']:.6f}", "psi": f"{r['psi']:.6f}"},
+        )
+        for r in report
+        if not (r["ks_pass"] and r["psi_pass"])
+    ]
+    from ..errors import VIOLATION_DDL
+
+    return spark.createDataFrame(rows, VIOLATION_DDL)
