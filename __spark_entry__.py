@@ -1,38 +1,351 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation pass; ``queries()`` maps
+operator names → (spark, sf_dir) → DataFrame; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL the driver cross-checks at sf=0.01.
+Every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sinter_spark import Schema
+from sinter_spark.binding import bind
+from sinter_spark.operators import dedup, similarity, text
+from sinter_spark.operators.drift import histogram
+from sinter_spark.operators.referential import referential_violations
+from sinter_spark.operators.stats import column_stats
+from sinter_spark.operators.uniqueness import duplicate_keys
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup"]
+_LI_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_schema() -> Schema:
+    """Flagship sinter schema over the events table."""
+    return Schema.define(
+        [
+            ("event_id", "integer"),
+            ("event_type", "string", {"choices": _EVENT_TYPES}),
+            ("value", "float", {"gt": 0, "lteq": 450}),
+            ("user_id", "integer", {"gteq": 1}),
+            ("props", "string", {"format": r"^\{.*\}$"}),
+        ],
+        title="events",
+    )
+
+
+def _validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = bind(events_schema(), _t(spark, sf_dir, "events"), row_key="event_id")
+    return res.violations.select(
+        "row_key",
+        F.array_join("path", ".").alias("path"),
+        "code",
+        "message",
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full sinter-semantics validation pass over events."""
+    return _validate_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_validate_events(spark, sf):
+        return _validate_events(spark, sf)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_stats_lineitem(spark, sf):
+        return column_stats(_t(spark, sf, "lineitem"), _LI_COLS, approx=False)
+
+    def q_dup_lineitem_orderkey(spark, sf):
+        return duplicate_keys(_t(spark, sf, "lineitem"), "l_orderkey")
+
+    def q_ref_orphan_events_users(spark, sf):
+        v = referential_violations(
+            _t(spark, sf, "events"), _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id")),
+            "user_id", row_key="event_id",
+        )
+        return v.select("row_key", F.array_join("path", ".").alias("path"), "code")
+
+    def q_hist_events_value(spark, sf):
+        return histogram(_t(spark, sf, "events"), "value", bins=16, lo=0.0, hi=500.0)
+
+    def q_q1_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q_sessions_per_user(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts")
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        gap = epoch - F.lag(epoch).over(w)
+        marked = ev.select("user_id", "ts").withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
+
+    def q_hourly_rollup(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        )
+
+    def q_doc_fingerprints(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+    def q_exact_dup_docs(spark, sf):
+        d = dedup.exact_dup_groups(_t(spark, sf, "documents"))
+        return d.select("fp", "n_docs")
+
+    def q_jaccard_pairs_docs(spark, sf):
+        return dedup.jaccard_pairs(_t(spark, sf, "documents"), k=4, threshold=0.5)
+
+    def q_minhash_lsh_docs(spark, sf):
+        return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), k=4, n_hashes=64, bands=16)
+
+    def q_simhash_docs(spark, sf):
+        return dedup.simhash(_t(spark, sf, "documents"))
+
+    def q_text_quality_docs(spark, sf):
+        return text.quality_features(_t(spark, sf, "documents"))
+
+    def q_langid_docs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", text.lang_id("text").alias("pred_lang"))
+
+    def q_topk_cosine(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = emb.orderBy("vec_id").select("embedding").first()["embedding"]
+        return similarity.cosine_topk(emb, list(qvec), k=10, round_to=5)
+
+    def q_embedding_near_pairs(spark, sf):
+        return similarity.cosine_self_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.9, round_to=5
+        )
+
+    return {
+        "validate_events": q_validate_events,
+        "stats_lineitem": q_stats_lineitem,
+        "dup_lineitem_orderkey": q_dup_lineitem_orderkey,
+        "ref_orphan_events_users": q_ref_orphan_events_users,
+        "hist_events_value": q_hist_events_value,
+        "q1_pricing": q_q1_pricing,
+        "sessions_per_user": q_sessions_per_user,
+        "hourly_rollup": q_hourly_rollup,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_docs": q_exact_dup_docs,
+        "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "minhash_lsh_docs": q_minhash_lsh_docs,
+        "simhash_docs": q_simhash_docs,
+        "text_quality_docs": q_text_quality_docs,
+        "langid_docs": q_langid_docs,
+        "topk_cosine": q_topk_cosine,
+        "embedding_near_pairs": q_embedding_near_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    choices_msg = "must be one of: ['click', 'view', 'purchase', 'signup']".replace("'", "''")
+    stats_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS null_rate,
+              CAST(MIN({c}) AS DOUBLE) AS min_value,
+              CAST(MAX({c}) AS DOUBLE) AS max_value,
+              COUNT(DISTINCT {c}) AS n_distinct
+         FROM lineitem"""
+        for c in _LI_COLS
+    )
+    return {
+        "validate_events": f"""
+            SELECT CAST(event_id AS VARCHAR) AS row_key, 'event_type' AS path,
+                   'choices' AS code, '{choices_msg}' AS message
+              FROM events
+             WHERE event_type IS NOT NULL
+               AND event_type NOT IN ('click','view','purchase','signup')
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'value', 'gt', 'must be greater than 0'
+              FROM events WHERE value IS NOT NULL AND NOT value > 0
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'value', 'lteq', 'must be less than or equal to 450'
+              FROM events WHERE value IS NOT NULL AND NOT value <= 450
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'user_id', 'gteq', 'must be greater than or equal to 1'
+              FROM events WHERE user_id IS NOT NULL AND NOT user_id >= 1
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), 'props', 'format', 'does not match required format'
+              FROM events WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{{.*\\}}$')
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR), c.col, 'required', 'field is required'
+              FROM events, (SELECT UNNEST(['event_id','event_type','value','user_id','props']) AS col) c
+             WHERE CASE c.col WHEN 'event_id' THEN event_id IS NULL
+                              WHEN 'event_type' THEN event_type IS NULL
+                              WHEN 'value' THEN value IS NULL
+                              WHEN 'user_id' THEN user_id IS NULL
+                              ELSE props IS NULL END
+        """,
+        "stats_lineitem": stats_parts,
+        "dup_lineitem_orderkey": """
+            SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "ref_orphan_events_users": """
+            SELECT CAST(event_id AS VARCHAR) AS row_key, 'user_id' AS path,
+                   'referential' AS code
+              FROM events
+             WHERE user_id IS NOT NULL
+               AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        """,
+        "hist_events_value": """
+            SELECT 'value' AS column,
+                   CAST(LEAST(GREATEST(FLOOR(value / 31.25), 0), 15) AS INT) AS bin,
+                   COUNT(*) AS count
+              FROM events WHERE value IS NOT NULL
+             GROUP BY 2
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+              FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus
+        """,
+        "sessions_per_user": """
+            WITH marked AS (
+              SELECT user_id,
+                     CASE WHEN EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+                FROM events)
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM marked GROUP BY user_id
+        """,
+        "hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents
+        """,
+        "exact_dup_docs": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n_docs
+              FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "jaccard_pairs_docs": """
+            WITH idx AS (
+              SELECT doc_id, text,
+                     CAST(unnest(generate_series(1, GREATEST(length(text) - 3, 0))) AS INT) AS i
+                FROM documents),
+            sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS shingle FROM idx),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(shared AS DOUBLE)/(sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+             WHERE CAST(shared AS DOUBLE)/(sa.n_sh + sb.n_sh - shared) >= 0.5
+        """,
+        "text_quality_docs": r"""
+            WITH feat AS (
+              SELECT doc_id,
+                     length(text) AS n_chars_obs,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)/length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                          THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                    w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                               / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                          ELSE 0.0 END AS sr
+                FROM documents)
+            SELECT doc_id, n_chars_obs, n_tokens, n_bpe_tokens,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(sr, 6) AS stopword_ratio,
+                   ROUND(
+                     LEAST(n_chars_obs / 200.0, 1.0) * 0.4
+                     + CASE WHEN n_tokens > 0
+                            AND CAST(n_chars_obs AS DOUBLE)/n_tokens >= 3
+                            AND CAST(n_chars_obs AS DOUBLE)/n_tokens <= 10
+                            THEN 1.0 ELSE 0.0 END * 0.4
+                     + (1.0 - LEAST(pr * 5, 1.0)) * 0.2, 6) AS quality
+              FROM feat
+        """,
+        "langid_docs": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'zh'
+                        WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|die|das|und|nicht) ') THEN 'de'
+                        WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|et|est) ') THEN 'fr'
+                        WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|y) ') THEN 'es'
+                        ELSE 'en' END AS pred_lang
+              FROM documents
+        """,
+        "topk_cosine": """
+            WITH q AS (SELECT embedding FROM embeddings
+                        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM q)), 5) AS cos_sim
+              FROM embeddings
+             ORDER BY cos_sim DESC, vec_id
+             LIMIT 10
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
+              FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id
+               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        # minhash_lsh_docs / simhash_docs: xxhash64-based — not
+        # SQL-expressible; driver records rows-only checks.
+    }

@@ -1,0 +1,94 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (character/stopword heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex) and document fingerprinting —
+all pure ``pyspark.sql.functions`` Column expressions (JVM-side,
+whole-stage codegen; zero Python in the hot path) so they hold at
+100 TB and are DuckDB-oracle-expressible for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: BPE-ish tokenizer: word pieces | numbers | single punctuation.
+#: Kept to the regex subset Java and RE2 share (SURVEY.md §7.3).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # split on runs of whitespace; trim first so no empty edge tokens
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    puncts = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", ""))
+    return F.when(F.length(c) > 0, puncts / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n = F.size(words)
+    stops = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    return F.when(n > 0, stops / n).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword heuristic language ID (deterministic; the real
+    pipeline would swap in fastText — this is the Spark plumbing +
+    a reproducible rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return (
+        F.when(c.rlike("[一-鿿぀-ヿ]"), F.lit("zh"))
+        .when(padded.rlike(" (der|die|das|und|nicht) "), F.lit("de"))
+        .when(padded.rlike(" (le|la|les|et|est) "), F.lit("fr"))
+        .when(padded.rlike(" (el|los|las|es|y) "), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (stable across engines; the cheap exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score, one projection."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(c)
+    pr = punct_ratio(c)
+    sr = stopword_ratio(c)
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    # composite score in [0,1]: long enough, readable token length,
+    # light punctuation (deterministic arithmetic — oracle-friendly)
+    quality = (
+        F.least(n_chars / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.4
+        + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        token_count(c).alias("n_bpe_tokens"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
