@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Top-level metric = the north metric (BASELINE.json): validated rows/sec
+of the FULL image-suite pass (schema predicates + decode/PSNR/caption
+kernel + uniqueness + referential), measured on the deterministic
+synthetic image table. ``queries`` carries per-query wall seconds over
+the driver testdata. Generation of the image table is input prep and
+excluded from timing (cached parquet under /tmp keyed by size/seed).
+
+Usage: python bench.py            (JSON line to stdout)
+       python bench.py --images-n 100000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "validate_events",
+    "stats_lineitem",
+    "dup_lineitem_orderkey",
+    "hist_events_value",
+    "q1_pricing",
+    "sessions_per_user",
+    "hourly_rollup",
+    "doc_fingerprints",
+    "text_quality_docs",
+    "langid_docs",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "topk_cosine",
+]
+
+
+def image_table(spark, n: int, seed: int = 42, max_dim: int = 64):
+    from sinter_spark.images import write_images
+
+    path = f"/tmp/sinter_bench_images_n{n}_s{seed}_d{max_dim}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        write_images(spark, path, n, seed=seed, max_dim=max_dim)
+    return spark.read.parquet(path)
+
+
+def run_image_suite(spark, df) -> int:
+    """Full constraint suite incl. decode PSNR; returns violation count
+    (the action that materializes the whole pass)."""
+    from sinter_spark.images import fmt_dim, validate_images_full
+
+    res = validate_images_full(df, fmt_dim(spark))
+    return res.violations.count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images-n", type=int, default=int(os.environ.get("SPARK_GRAFT_IMAGES_N", "60000")))
+    ap.add_argument("--skip-images", action="store_true")
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from sinter_spark.session import get_spark
+
+    spark = get_spark(cores=args.cores, app_name="sinter_bench")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "validated_rows_per_sec_full_image_suite",
+        "value": 0.0,
+        "unit": "rows/sec",
+        "queries": per_query,
+        "sf": sf,
+        "headline_total_sec": round(total, 3),
+        "cores": str(args.cores),
+    }
+
+    if not args.skip_images:
+        df = image_table(spark, args.images_n)
+        n_rows = df.count()
+        # warm the input page cache distinction away: one cheap action
+        df.select("image_id").limit(1).count()
+        t0 = time.perf_counter()
+        n_viol = run_image_suite(spark, df)
+        dt = time.perf_counter() - t0
+        result["value"] = round(n_rows / dt, 1)
+        result["images_n"] = n_rows
+        result["image_suite_sec"] = round(dt, 3)
+        result["image_violations"] = n_viol
+        print(f"# image_suite: {dt:.3f}s ({n_rows} rows, {n_viol} violations)", file=sys.stderr)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -591,6 +591,7 @@ def bind(
     strict: bool | None = None,
     pre_validate: Callable[[DataFrame], DataFrame] | None = None,
     post_validate: Any = None,
+    keep_cols: Sequence[str] = (),
 ) -> TableValidationResult:
     """Bind a schema to a DataFrame and build the validation plan.
 
@@ -661,9 +662,11 @@ def bind(
         rk = row_key
 
     out_cols = [bf.output for bf in bound]
+    extra = [F.col(c) for c in keep_cols if c not in {bf.name for bf in bound}]
     flagged = df.select(
         rk.alias("__row_key"),
         *out_cols,
+        *extra,
         err_arr.alias("__errs"),
     )
     return TableValidationResult(flagged, [bf.name for bf in bound], "__row_key")

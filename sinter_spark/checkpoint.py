@@ -1,0 +1,199 @@
+"""Checkpoint/resume with per-partition lineage + metrics.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". Spark batch has no cross-job operator state (SURVEY.md §4),
+so the engine keeps its own checkpoint table — an Iceberg-shaped
+abstraction (snapshot manifest + state table) with a Parquet-directory
+backend, since no Iceberg jars ship in this sandbox (SURVEY.md §7.0).
+All engine code talks to :class:`CheckpointStore` only; pointing it at
+a real Iceberg catalog table is a backend swap, not an API change.
+
+Partition identity must survive restarts, so it is *derived from the
+data*, not from ``spark_partition_id()``: bucket = pmod(xxhash64(key),
+n_buckets). Resume = anti-join of pending buckets against the state
+table (the distributed analogue of re-validating only the failed
+indices of ``validate_many``, ``validator.ex:148-181``). Violations are
+written partitioned by bucket with dynamic partition overwrite, and the
+state row is committed *after* the data — a crash between the two
+re-runs that bucket idempotently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+STATE_DDL = (
+    "run_id string, bucket int, status string, rows bigint, "
+    "violations bigint, stats map<string,double>, updated_at double"
+)
+
+
+class CheckpointStore:
+    """Parquet-directory checkpoint table with a JSON manifest."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.state_path = f"{self.path}/state"
+        self.manifest_path = f"{self.path}/manifest.json"
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- manifest (run lineage) ---------------------------------------------
+
+    def _read_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"runs": {}}
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    def begin_run(self, run_id: str | None, *, n_buckets: int, key_col: str, meta: dict | None = None) -> str:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        m = self._read_manifest()
+        if run_id not in m["runs"]:
+            m["runs"][run_id] = {
+                "n_buckets": n_buckets,
+                "key_col": key_col,
+                "created_at": time.time(),
+                "meta": meta or {},
+            }
+            self._write_manifest(m)
+        else:
+            prev = m["runs"][run_id]
+            if prev["n_buckets"] != n_buckets or prev["key_col"] != key_col:
+                raise ValueError(
+                    f"run {run_id!r} was started with n_buckets={prev['n_buckets']} "
+                    f"key_col={prev['key_col']!r}; cannot resume with different lineage"
+                )
+        return run_id
+
+    # -- state table ----------------------------------------------------------
+
+    def state(self) -> DataFrame:
+        if not os.path.exists(self.state_path):
+            return self.spark.createDataFrame([], STATE_DDL)
+        return self.spark.read.schema(STATE_DDL).parquet(self.state_path)
+
+    def done_buckets(self, run_id: str) -> set[int]:
+        rows = (
+            self.state()
+            .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("bucket")
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+
+    def mark_done(self, run_id: str, bucket_stats: list[dict]) -> None:
+        now = time.time()
+        rows = [
+            (
+                run_id,
+                int(b["bucket"]),
+                "done",
+                int(b.get("rows", 0)),
+                int(b.get("violations", 0)),
+                {k: float(v) for k, v in (b.get("stats") or {}).items()},
+                now,
+            )
+            for b in bucket_stats
+        ]
+        self.spark.createDataFrame(rows, STATE_DDL).coalesce(1).write.mode("append").parquet(self.state_path)
+
+    def metrics(self, run_id: str) -> DataFrame:
+        return self.state().where(F.col("run_id") == run_id)
+
+
+def bucket_col(key_col: str, n_buckets: int):
+    """Stable data-derived partition id (restart-proof lineage key)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def run_checkpointed(
+    df: DataFrame,
+    pass_fn: Callable[[DataFrame], DataFrame],
+    store: CheckpointStore,
+    *,
+    run_id: str | None = None,
+    key_col: str = "image_id",
+    n_buckets: int = 32,
+    buckets_per_job: int = 8,
+    violations_dir: str | None = None,
+    fail_after: int | None = None,
+) -> str:
+    """Run ``pass_fn`` (sub-DataFrame → violation rows) over the table in
+    resumable bucket chunks.
+
+    Each chunk: filter pending buckets → compute violations → write them
+    partitioned by ckpt_bucket (dynamic overwrite = idempotent) → commit
+    per-bucket state rows (rows/violations/stats). ``fail_after`` kills
+    the run after N chunks (test hook for crash/resume).
+    """
+    run_id = store.begin_run(run_id, n_buckets=n_buckets, key_col=key_col)
+    violations_dir = violations_dir or f"{store.path}/violations/{run_id}"
+    done = store.done_buckets(run_id)
+    pending = [b for b in range(n_buckets) if b not in done]
+    bcol = bucket_col(key_col, n_buckets).alias("ckpt_bucket")
+    src = df.withColumn("ckpt_bucket", bcol)
+
+    chunks = [pending[i : i + buckets_per_job] for i in range(0, len(pending), buckets_per_job)]
+    for ci, chunk in enumerate(chunks):
+        if fail_after is not None and ci >= fail_after:
+            raise RuntimeError(f"injected failure after {ci} chunks")
+        sub = src.where(F.col("ckpt_bucket").isin(chunk))
+        # violations keep their originating bucket for idempotent overwrite
+        viol = pass_fn(sub.drop("ckpt_bucket"))
+        viol = viol.join(
+            sub.select(F.col(key_col).cast("string").alias("row_key"), "ckpt_bucket").dropDuplicates(["row_key"]),
+            "row_key",
+            "left",
+        ).withColumn("ckpt_bucket", F.coalesce("ckpt_bucket", F.lit(-1)))
+        (
+            viol.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ckpt_bucket")
+            .parquet(violations_dir)
+        )
+        # per-bucket metrics from the same sub-scan
+        stats_rows = (
+            sub.groupBy("ckpt_bucket")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        vcounts = {
+            r["ckpt_bucket"]: r["n"]
+            for r in viol.groupBy("ckpt_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        bucket_stats = []
+        for r in stats_rows:
+            b = r["ckpt_bucket"]
+            bucket_stats.append(
+                {
+                    "bucket": b,
+                    "rows": r["rows"],
+                    "violations": vcounts.get(b, 0),
+                    "stats": {"violation_rate": (vcounts.get(b, 0) / r["rows"]) if r["rows"] else 0.0},
+                }
+            )
+        # buckets with zero rows still count as done
+        seen = {bs["bucket"] for bs in bucket_stats}
+        for b in chunk:
+            if b not in seen:
+                bucket_stats.append({"bucket": b, "rows": 0, "violations": 0, "stats": {}})
+        store.mark_done(run_id, [bs for bs in bucket_stats if bs["bucket"] in chunk or bs["bucket"] == -1])
+    return run_id
+
+
+def read_violations(store: CheckpointStore, run_id: str) -> DataFrame:
+    path = f"{store.path}/violations/{run_id}"
+    return store.spark.read.parquet(path)

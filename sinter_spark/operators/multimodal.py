@@ -1,0 +1,164 @@
+"""Multimodal payload plumbing: opaque binary columns + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with typed metadata
+(the image table's (bytes, w, h, fmt) is the pattern). The Spark-side
+plumbing — schema contracts, Arrow batch shape, partition sizing — is
+real and tested; heavyweight codec work beyond the built-in synthetic
+codecs (jpeg/mp3/mp4…) is STUBBED behind ``NotImplementedError`` or a
+clearly-marked deterministic fake, because no imaging/audio libs ship
+in this container (SURVEY.md §7.0). Swapping a stub for Pillow/ffmpeg
+changes one function, not the plumbing.
+
+Scale note: every operator here is ``mapInPandas`` over Arrow batches
+(no per-row Python round trips) and prunes to exactly the columns it
+needs; `spark.sql.files.maxPartitionBytes` bounds decode-task memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..images import codecs
+
+IMAGE_FEATURES_DDL = (
+    "row_key string, ok boolean, err string, dec_w int, dec_h int, "
+    "mean_r double, mean_g double, mean_b double, brightness double"
+)
+
+#: formats the built-in numpy codecs decode; anything else is a stub
+BUILTIN_FMTS = frozenset(codecs.DECODERS)
+
+
+def decode_image_features(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    strict_stub: bool = False,
+) -> DataFrame:
+    """Decode → per-image feature extraction in one Arrow pass.
+
+    For builtin fmts the decode is real; unknown fmts either raise
+    (``strict_stub=True``) or yield ok=False with err='stub:<fmt>'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                rk = getattr(t, id_col)
+                fmt = getattr(t, fmt_col)
+                data = getattr(t, bytes_col)
+                rec = {
+                    "row_key": rk, "ok": False, "err": None,
+                    "dec_w": None, "dec_h": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "brightness": None,
+                }
+                if fmt not in BUILTIN_FMTS:
+                    if strict_stub:
+                        raise NotImplementedError(
+                            f"codec for fmt '{fmt}' not available in this container"
+                        )
+                    rec["err"] = f"stub:{fmt}"
+                elif data is None:
+                    rec["err"] = "null payload"
+                else:
+                    try:
+                        px = codecs.decode(fmt, bytes(data))
+                        means = px.reshape(-1, 3).mean(axis=0)
+                        rec.update(
+                            ok=True,
+                            dec_w=int(px.shape[1]),
+                            dec_h=int(px.shape[0]),
+                            mean_r=float(means[0]),
+                            mean_g=float(means[1]),
+                            mean_b=float(means[2]),
+                            brightness=float(means.mean()),
+                        )
+                    except codecs.DecodeError as e:
+                        rec["err"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(run, IMAGE_FEATURES_DDL)
+
+
+RESIZE_DDL = "row_key string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(
+    df: DataFrame,
+    target: int,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Nearest-neighbor resize to target×target, re-encoded as raw.
+
+    Real for builtin fmts (pure numpy index resampling); non-builtin
+    fmts pass through with bytes=None (stub marker)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                fmt = getattr(t, fmt_col)
+                data = getattr(t, bytes_col)
+                rec = {"row_key": getattr(t, id_col), "bytes": None, "w": target, "h": target, "fmt": "raw"}
+                if fmt in BUILTIN_FMTS and data is not None:
+                    try:
+                        px = codecs.decode(fmt, bytes(data))
+                        ys = (np.arange(target) * px.shape[0] // target).clip(0, px.shape[0] - 1)
+                        xs = (np.arange(target) * px.shape[1] // target).clip(0, px.shape[1] - 1)
+                        rec["bytes"] = codecs.encode_raw(px[ys][:, xs])
+                    except codecs.DecodeError:
+                        pass
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(run, RESIZE_DDL)
+
+
+FRAME_SAMPLE_DDL = "row_key string, frame_idx int, frame_digest string"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    *,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """STUB video frame sampler: real Arrow plumbing + deterministic
+    fake frames (digest of payload slice per frame index). A real
+    implementation swaps the digest for an ffmpeg keyframe decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                data = getattr(t, bytes_col)
+                if data is None:
+                    continue
+                b = bytes(data)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step]
+                    out.append(
+                        {
+                            "row_key": getattr(t, id_col),
+                            "frame_idx": i,
+                            "frame_digest": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SAMPLE_DDL)

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: lineage, crash-resume idempotency, metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sinter_spark.binding import bind
+from sinter_spark.checkpoint import CheckpointStore, read_violations, run_checkpointed
+from sinter_spark.images import fmt_dim, generate_images, image_schema
+
+
+def _pass_fn(sub):
+    res = bind(image_schema(), sub, row_key="image_id")
+    return res.violations
+
+
+@pytest.fixture()
+def img_df(spark):
+    return generate_images(spark, 1500, seed=42, max_dim=32, partitions=4)
+
+
+def test_full_run_then_resume_is_noop(spark, img_df, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_id = run_checkpointed(img_df, _pass_fn, store, run_id="r1", n_buckets=8, buckets_per_job=4)
+    v1 = read_violations(store, run_id)
+    n1 = v1.count()
+    assert n1 == _pass_fn(img_df).count()
+    assert store.done_buckets("r1") == set(range(8))
+    # resume: everything done → no new work, results unchanged
+    run_checkpointed(img_df, _pass_fn, store, run_id="r1", n_buckets=8, buckets_per_job=4)
+    assert read_violations(store, run_id).count() == n1
+
+
+def test_crash_then_resume_completes_exactly(spark, img_df, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            img_df, _pass_fn, store, run_id="r2", n_buckets=8, buckets_per_job=2, fail_after=2
+        )
+    done_mid = store.done_buckets("r2")
+    assert 0 < len(done_mid) < 8  # partial progress recorded
+    # resume finishes only the pending buckets
+    run_checkpointed(img_df, _pass_fn, store, run_id="r2", n_buckets=8, buckets_per_job=2)
+    assert store.done_buckets("r2") == set(range(8))
+    # no duplicates vs a clean one-shot run
+    expected = _pass_fn(img_df).count()
+    got = read_violations(store, "r2").count()
+    assert got == expected
+
+
+def test_metrics_lineage(spark, img_df, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_checkpointed(img_df, _pass_fn, store, run_id="r3", n_buckets=4, buckets_per_job=4)
+    m = store.metrics("r3")
+    rows = m.collect()
+    assert {r["bucket"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["rows"] for r in rows) == 1500
+    assert all(r["status"] == "done" for r in rows)
+    assert all("violation_rate" in (r["stats"] or {}) for r in rows if r["rows"])
+
+
+def test_lineage_mismatch_rejected(spark, img_df, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_checkpointed(img_df, _pass_fn, store, run_id="r4", n_buckets=4, buckets_per_job=4)
+    with pytest.raises(ValueError, match="cannot resume"):
+        run_checkpointed(img_df, _pass_fn, store, run_id="r4", n_buckets=8)
