@@ -69,7 +69,14 @@ def main() -> None:
 
     from sinter_spark.session import get_spark
 
-    spark = get_spark(cores=args.cores, app_name="sinter_bench")
+    # AQE off for the bench: stages here are sub-second, and AQE's
+    # per-stage re-planning dominates them at high thread counts; the
+    # engine default (session.get_spark) keeps AQE on for real scale
+    spark = get_spark(
+        cores=args.cores,
+        app_name="sinter_bench",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
 
     import __spark_entry__ as entrymod
 
@@ -99,8 +106,10 @@ def main() -> None:
     if not args.skip_images:
         df = image_table(spark, args.images_n)
         n_rows = df.count()
-        # warm the input page cache distinction away: one cheap action
-        df.select("image_id").limit(1).count()
+        # steady-state measurement: one warmup pass over a slice spins up
+        # python workers / JIT / page cache (cold-start excluded, as a
+        # long-running cluster job would be)
+        run_image_suite(spark, df.sample(0.05, seed=1))
         t0 = time.perf_counter()
         n_viol = run_image_suite(spark, df)
         dt = time.perf_counter() - t0

@@ -35,6 +35,16 @@ from .schema import FieldDef, Schema, SchemaConfig, merge_schemas
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Spark-dependent surface, loaded lazily so the pure-Python core
+    # imports without a JVM: sinter_spark.bind / validate_table
+    if name in ("bind", "validate_table", "TableValidationResult", "BindError"):
+        from . import binding
+
+        return getattr(binding, name)
+    raise AttributeError(f"module 'sinter_spark' has no attribute {name!r}")
+
 __all__ = [
     "ERROR_CODES",
     "Error",

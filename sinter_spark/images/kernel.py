@@ -80,11 +80,20 @@ def _check_row(image_id, data, w, h, fmt, caption, check_caption: bool) -> list[
     return out
 
 
-def decode_violations(df: DataFrame, *, check_caption: bool = True) -> DataFrame:
+def decode_violations(df: DataFrame, *, check_caption: bool = True, min_parallelism: int | None = None) -> DataFrame:
     """Violations from the decode/PSNR/caption invariant, one decode per
     row, Arrow-batched. Input needs columns
-    (image_id, bytes, w, h, fmt, caption)."""
+    (image_id, bytes, w, h, fmt, caption).
+
+    The decode is CPU-bound Python, so under-parallel inputs (few/large
+    files) starve cores: if the scan yields fewer partitions than half
+    the cluster's parallelism, repartition first (one extra shuffle of
+    the payload — cheaper than idle cores; real deployments instead
+    size spark.sql.files.maxPartitionBytes)."""
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+    para = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(para // 2, 1):
+        df = df.repartition(para)
 
     def run(batches):
         for pdf in batches:

@@ -22,10 +22,13 @@ from ..operators.uniqueness import uniqueness_violations
 from ..schema import Schema
 
 
-def image_schema() -> Schema:
-    """The sinter schema of the image table (SURVEY.md §7.1 step 2)."""
-    return Schema.define(
-        [
+def image_schema(include_bytes: bool = True) -> Schema:
+    """The sinter schema of the image table (SURVEY.md §7.1 step 2).
+
+    ``include_bytes=False`` drops the payload column from the row pass
+    so its scan stays narrow — the decode kernel re-checks null payloads
+    anyway (one bytes read total across the whole suite)."""
+    fields = [
             ("image_id", "uuid"),
             ("bytes", "any"),
             ("w", "integer", {"gt": 0, "lteq": 16384}),
@@ -33,9 +36,10 @@ def image_schema() -> Schema:
             ("fmt", "string", {"choices": ["raw", "png", "qjpg"]}),
             ("caption", "string", {"min_length": 1, "max_length": 512}),
             ("phash", "integer"),
-        ],
-        title="images",
-    )
+    ]
+    if not include_bytes:
+        fields = [f for f in fields if f[0] != "bytes"]
+    return Schema.define(fields, title="images")
 
 
 @dataclass
@@ -66,7 +70,9 @@ def validate_images_full(
     hist_ranges: dict | None = None,
 ) -> ImageSuiteResult:
     spark = df.sparkSession
-    res = bind(image_schema(), df, row_key="image_id")
+    # row pass excludes bytes when the decode kernel runs (it re-checks
+    # null payloads) — keeps this scan narrow; bytes is read exactly once
+    res = bind(image_schema(include_bytes=not decode), df, row_key="image_id")
     parts = [res.violations]
 
     if decode:

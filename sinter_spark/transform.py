@@ -1,0 +1,112 @@
+"""Serialization transform + JSON encode/decode (§2.6).
+
+Re-expresses ``Sinter.Transform`` (``/root/reference/lib/sinter/
+transform.ex:38-137``): drop NotGiven/Omit sentinels, apply aliases
+(canonical → wire name), ISO-8601 date formatting, recursive descent —
+plus ``Sinter.JSON`` (``json.ex:19-67``): encode = transform + dump;
+decode = parse + validate. Two grains:
+
+* driver grain: plain dicts (the reference semantics, incl. sentinels —
+  absent-vs-nil IS representable here, ``not_given.ex:9-46``);
+* table grain: a DataFrame projection (sentinels don't exist per-row in
+  a fixed schema — null ≡ omitted, SURVEY.md §7.3) with
+  ``to_json``/``from_json`` for wire format.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from datetime import date, datetime
+from typing import Any
+
+from .driver_validate import validate
+from .errors import Error
+from .schema import Schema
+
+
+class NotGiven:
+    """Sentinel distinguishing omitted from nil (not_given.ex:9-46)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "NOT_GIVEN"
+
+
+NOT_GIVEN = NotGiven()
+
+
+def transform(schema: Schema, data: dict) -> dict:
+    """Serialize a validated payload: drop sentinels, rename via alias,
+    ISO-format dates, recurse into nested objects (transform.ex:38-137)."""
+    out: dict[str, Any] = {}
+    for name, fd in schema.fields.items():
+        if name not in data:
+            continue
+        v = data[name]
+        if v is NOT_GIVEN:
+            continue  # sentinel-drop
+        if isinstance(v, datetime):
+            v = v.isoformat()
+        elif isinstance(v, date):
+            v = v.isoformat()
+        t = fd.type
+        if isinstance(t, tuple) and t and t[0] == "object" and isinstance(v, dict):
+            v = transform(t[1], v)
+        wire = fd.alias or name
+        out[wire] = v
+    # unknown keys pass through untouched (non-strict serialization)
+    for k, v in data.items():
+        if k not in schema.fields and v is not NOT_GIVEN:
+            out.setdefault(k, v)
+    return out
+
+
+def encode(schema: Schema, data: dict, **dump_opts) -> str:
+    """transform + JSON dump (json.ex:19-38)."""
+    return _json.dumps(transform(schema, data), **dump_opts)
+
+
+def decode(schema: Schema, payload: str, **validate_opts):
+    """parse + validate (json.ex:45-67); parse errors → :json_decode."""
+    try:
+        data = _json.loads(payload)
+    except ValueError as e:
+        return False, None, [Error.new([], "json_decode", str(e))]
+    return validate(schema, data, **validate_opts)
+
+
+# -- table grain -------------------------------------------------------------
+
+
+def transform_df(schema: Schema, df):
+    """DataFrame projection applying alias renames + date formatting —
+    the distributed transform (one narrow select)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as ST
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for name, fd in schema.fields.items():
+        if name not in dtypes:
+            continue
+        c = F.col(name)
+        if isinstance(dtypes[name], ST.DateType):
+            c = F.date_format(c, "yyyy-MM-dd")
+        elif isinstance(dtypes[name], (ST.TimestampType, ST.TimestampNTZType)):
+            c = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        cols.append(c.alias(fd.alias or name))
+    return df.select(*cols)
+
+
+def encode_df(schema: Schema, df):
+    """One JSON string column per row (wire format via to_json)."""
+    from pyspark.sql import functions as F
+
+    t = transform_df(schema, df)
+    return t.select(F.to_json(F.struct(*t.columns)).alias("json"))

@@ -29,11 +29,6 @@ def events_schema():
 class TestStreaming:
     def test_foreachbatch_validation(self, spark, events_schema, sf_dir, tmp_path):
         src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(src_schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{sf_dir}")  # dir contains one events parquet? no — use file dir
-        )
         # read only the events file via glob
         stream = (
             spark.readStream.schema(src_schema)
