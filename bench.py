@@ -41,8 +41,9 @@ HEADLINE = [
 
 def image_table(spark, n: int, seed: int = 42, max_dim: int = 64):
     from sinter_spark.images import write_images
+    from sinter_spark.images.synth import RENDER_VERSION
 
-    path = f"/tmp/sinter_bench_images_n{n}_s{seed}_d{max_dim}.parquet"
+    path = f"/tmp/sinter_bench_images_v{RENDER_VERSION}_n{n}_s{seed}_d{max_dim}.parquet"
     if not os.path.exists(path + "/_SUCCESS"):
         write_images(spark, path, n, seed=seed, max_dim=max_dim)
     return spark.read.parquet(path)

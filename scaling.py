@@ -28,7 +28,7 @@ def main() -> None:
         SparkSession.builder.appName("sinter_scaling")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # AQE off for this run: its per-stage re-planning costs seconds
         # on sub-second stages at high thread counts (measured 9.4s→1.0s

@@ -31,7 +31,10 @@ def build_zip() -> str:
 
 
 def ensure_images(n: int) -> str:
-    path = f"/tmp/sinter_scaling_images_n{n}.parquet"
+    sys.path.insert(0, REPO)
+    from sinter_spark.images.synth import RENDER_VERSION
+
+    path = f"/tmp/sinter_scaling_images_v{RENDER_VERSION}_n{n}.parquet"
     if not os.path.exists(path + "/_SUCCESS"):
         sys.path.insert(0, REPO)
         from sinter_spark.session import get_spark
@@ -64,19 +67,29 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--images-n", type=int, default=3000000)
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
     n_small, n_big = args.n_small, args.n_small * 4
 
     zpath = build_zip()
     images = ensure_images(args.images_n)
-    small = run_at(n_small, zpath, images)
-    big = run_at(n_big, zpath, images)
+    # the sandbox host is SHARED (load from neighbor tenants varies by
+    # tens of cores minute-to-minute); interleave legs and take each
+    # leg's best trial as the least-contended estimate
+    smalls, bigs = [], []
+    for _ in range(args.trials):
+        smalls.append(run_at(n_small, zpath, images))
+        bigs.append(run_at(n_big, zpath, images))
+    small = min(smalls, key=lambda r: r["seconds"])
+    big = min(bigs, key=lambda r: r["seconds"])
     eff = (big["rows_per_sec"] / small["rows_per_sec"]) / (n_big / n_small)
     report = {
         "n_small": n_small,
         "n_big": n_big,
         "small": small,
         "big": big,
+        "small_trials": [r["seconds"] for r in smalls],
+        "big_trials": [r["seconds"] for r in bigs],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -100,13 +113,19 @@ no real cluster here, see BASELINE.md).
 **Scaling efficiency = ({big['rows_per_sec']:,} / {small['rows_per_sec']:,}) / 4 =
 {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
 
-Caveats, reported honestly: both runs share one machine, so the N-core
-run still enjoys the full memory bandwidth and page cache of the box —
-single-box "efficiency" can exceed what a real 4×-executor spread would
-show for shuffle-heavy stages, and undercount it for CPU-bound stages
-competing for shared caches. The dominant stage here (decode kernel)
-is embarrassingly parallel CPU work, the closest local analogue to
-adding executors.
+Per-leg trials (seconds): N={report['small_trials']},
+4N={report['big_trials']}; each leg's best trial is used.
+
+Caveats, reported honestly: (1) both runs share one machine, so the
+N-core run still enjoys the full memory bandwidth and page cache of the
+box — single-box "efficiency" can exceed what a real 4×-executor spread
+would show for shuffle-heavy stages, and undercount it for CPU-bound
+stages competing for shared caches; (2) the sandbox host is shared with
+other tenants (observed load-average swings of 20+ cores with this
+repo idle), so legs are interleaved and best-of-{args.trials} is taken
+as the least-contended estimate. The dominant stage (decode kernel) is
+embarrassingly parallel CPU work, the closest local analogue to adding
+executors.
 
 Reproduce: `python scripts/run_scaling.py --n-small {n_small} --images-n {small['rows']}`.
 """

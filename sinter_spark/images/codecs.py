@@ -179,7 +179,10 @@ def decode(fmt: str, data: bytes) -> np.ndarray:
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    # f32 diff, f64 accumulator: half the memory traffic of an f64 diff
+    # with no loss of precision that matters at a 40 dB threshold
+    d = a.astype(np.float32) - b.astype(np.float32)
+    mse = np.mean(np.square(d, out=d), dtype=np.float64)
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))

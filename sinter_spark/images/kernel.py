@@ -61,7 +61,8 @@ def _check_row(image_id, data, w, h, fmt, caption, check_caption: bool) -> list[
                     {"psnr_db": f"{p:.4f}", "fmt": str(fmt)},
                 )
         else:
-            if pixels.shape != ref.shape or not np.array_equal(pixels, ref):
+            # memcmp beats elementwise == (no boolean temp array)
+            if pixels.shape != ref.shape or pixels.tobytes() != ref.tobytes():
                 v(
                     ["bytes"],
                     "decode",

@@ -34,10 +34,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # wide binary payloads: smaller scan splits keep every core fed
-        # on modest tables; at real 100TB scale files are big enough that
-        # the default 128m would also saturate — this only helps locally
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # 64m splits: enough scan tasks to feed every core on wide
+        # binary payloads without drowning narrow-column scans in
+        # per-task scheduling overhead (measured: 16m → 640 tasks per
+        # branch at 10GB, several seconds of pure scheduling at 32
+        # threads; 128m → 3 tasks at 200MB, starved cores)
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
