@@ -156,6 +156,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), threshold=0.9, round_to=5
         )
 
+    def q_dup_salted(spark, sf):
+        # the salted two-phase path on a LOW-cardinality skewed key —
+        # must equal the plain GROUP BY the oracle runs
+        return duplicate_keys(_t(spark, sf, "lineitem"), "l_returnflag", salt_buckets=16)
+
+    def q_psi_events_value(spark, sf):
+        # distribution drift: PSI of `value` histograms, first half of
+        # the month vs second half, computed fully in-engine so DuckDB
+        # can replicate it (operators/drift.py does the same numpy-side)
+        ev = _t(spark, sf, "events")
+        half = F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b")
+        width = 500.0 / 16
+        b = F.least(F.greatest(F.floor(F.col("value") / width), F.lit(0)), F.lit(15)).cast("int")
+        hist = (
+            ev.where(F.col("value").isNotNull())
+            .groupBy(half.alias("half"), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        tot = hist.groupBy("half").agg(F.sum("n").alias("tot"))
+        probs = hist.join(tot, "half").select(
+            "half", "bin", (F.col("n") / F.col("tot")).alias("p")
+        )
+        a = probs.where("half = 'a'").select("bin", F.col("p").alias("pa"))
+        c = probs.where("half = 'b'").select("bin", F.col("p").alias("pb"))
+        eps = 1e-9
+        joined = a.join(c, "bin", "full").select(
+            F.greatest(F.coalesce("pa", F.lit(0.0)), F.lit(eps)).alias("pa"),
+            F.greatest(F.coalesce("pb", F.lit(0.0)), F.lit(eps)).alias("pb"),
+        )
+        return joined.agg(
+            F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi")
+        )
+
+    def q_rp_lsh_near_pairs(spark, sf):
+        return similarity.rp_lsh_near_pairs(
+            _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, bands=4, round_to=5
+        )
+
+    def q_image_decode_features(spark, sf):
+        # image ops run on the deterministic synthetic table (no image
+        # table in the oracle views → rows-only check)
+        from sinter_spark.images import generate_images
+        from sinter_spark.operators.multimodal import decode_image_features
+
+        df = generate_images(spark, 2000, seed=42, max_dim=32, partitions=8)
+        return decode_image_features(df)
+
+    def q_image_suite_violations(spark, sf):
+        from sinter_spark.images import fmt_dim, generate_images, validate_images_full
+
+        df = generate_images(spark, 2000, seed=42, max_dim=32, partitions=8)
+        res = validate_images_full(df, fmt_dim(spark))
+        return res.violations.groupBy("code").agg(F.count(F.lit(1)).alias("n")).orderBy("code")
+
     return {
         "validate_events": q_validate_events,
         "stats_lineitem": q_stats_lineitem,
@@ -174,6 +228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": q_langid_docs,
         "topk_cosine": q_topk_cosine,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "dup_salted": q_dup_salted,
+        "psi_events_value": q_psi_events_value,
+        "rp_lsh_near_pairs": q_rp_lsh_near_pairs,
+        "image_decode_features": q_image_decode_features,
+        "image_suite_violations": q_image_suite_violations,
     }
 
 
@@ -346,6 +405,30 @@ def oracle_sql() -> dict[str, str]:
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.9
         """,
-        # minhash_lsh_docs / simhash_docs: xxhash64-based — not
-        # SQL-expressible; driver records rows-only checks.
+        "dup_salted": """
+            SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_returnflag HAVING COUNT(*) > 1
+        """,
+        "psi_events_value": """
+            WITH hist AS (
+              SELECT CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END AS half,
+                     CAST(LEAST(GREATEST(FLOOR(value / 31.25), 0), 15) AS INT) AS bin,
+                     COUNT(*) AS n
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT half, CAST(SUM(n) AS DOUBLE) AS tot FROM hist GROUP BY 1),
+            probs AS (SELECT h.half, h.bin, h.n / t.tot AS p
+                        FROM hist h JOIN tot t ON h.half = t.half),
+            j AS (SELECT GREATEST(COALESCE(a.p, 0), 1e-9) AS pa,
+                         GREATEST(COALESCE(b.p, 0), 1e-9) AS pb
+                    FROM (SELECT bin, p FROM probs WHERE half = 'a') a
+                    FULL JOIN (SELECT bin, p FROM probs WHERE half = 'b') b USING (bin))
+            SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi FROM j
+        """,
+        # minhash_lsh_docs / simhash_docs / rp_lsh_near_pairs:
+        # xxhash64/seeded-hyperplane based — not SQL-expressible; driver
+        # records rows-only checks, and tests/test_entry_oracle.py gates
+        # their recall against the exact oracled variants.
+        # image_decode_features / image_suite_violations: run on the
+        # deterministic synthetic image table (no image views in the
+        # oracle) — rows-only; gated by tests/test_images.py.
     }
