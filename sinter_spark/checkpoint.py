@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, functions as F
 
 STATE_DDL = (
     "run_id string, bucket int, status string, rows bigint, "
-    "violations bigint, stats map<string,double>, updated_at double"
+    "violations bigint, stats map<string,double>, sketch binary, "
+    "updated_at double"
 )
 
 
@@ -104,6 +105,7 @@ class CheckpointStore:
                 int(b.get("rows", 0)),
                 int(b.get("violations", 0)),
                 {k: float(v) for k, v in (b.get("stats") or {}).items()},
+                b.get("sketch"),
                 now,
             )
             for b in bucket_stats
@@ -164,12 +166,20 @@ def run_checkpointed(
             .partitionBy("ckpt_bucket")
             .parquet(violations_dir)
         )
-        # per-bucket metrics from the same sub-scan
+        # per-bucket metrics + HLL sketch of the key, one narrow scan
+        # each (the sketch is the resumable analogue of
+        # approx_count_distinct — merged treewise at read time)
+        from .operators.sketch import hll_by_bucket
+
         stats_rows = (
             sub.groupBy("ckpt_bucket")
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
+        sketches = {
+            r["bucket"]: bytes(r["sketch"])
+            for r in hll_by_bucket(sub, key_col).collect()
+        }
         vcounts = {
             r["ckpt_bucket"]: r["n"]
             for r in viol.groupBy("ckpt_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -183,6 +193,7 @@ def run_checkpointed(
                     "rows": r["rows"],
                     "violations": vcounts.get(b, 0),
                     "stats": {"violation_rate": (vcounts.get(b, 0) / r["rows"]) if r["rows"] else 0.0},
+                    "sketch": sketches.get(b),
                 }
             )
         # buckets with zero rows still count as done
@@ -197,3 +208,16 @@ def run_checkpointed(
 def read_violations(store: CheckpointStore, run_id: str) -> DataFrame:
     path = f"{store.path}/violations/{run_id}"
     return store.spark.read.parquet(path)
+
+
+def global_distinct(store: CheckpointStore, run_id: str) -> float:
+    """Treewise merge of per-bucket HLL sketches → global approx
+    distinct of the run's key column, without re-scanning any data."""
+    from .operators.sketch import distinct_estimate
+
+    sketches = [
+        bytes(r["sketch"])
+        for r in store.metrics(run_id).select("sketch").collect()
+        if r["sketch"] is not None
+    ]
+    return distinct_estimate(sketches)

@@ -1,0 +1,109 @@
+"""Mergeable HyperLogLog sketches with checkpointable lineage.
+
+north_star: "column stats (null rate, min/max, approx distinct via
+HyperLogLog sketches merged treewise)" + "checkpoint table carrying
+per-partition lineage + stats metrics". Spark's own
+``approx_count_distinct`` is HLL++ but yields only a scalar — it cannot
+be stored per partition and resumed (SURVEY.md §4). This module builds
+*portable* register arrays:
+
+* hashing happens JVM-side (``xxhash64`` — stays in codegen),
+* per-bucket registers are folded in numpy inside ``applyInPandas``
+  (vectorized, no per-row Python),
+* a sketch is just 2^p bytes — stored in the checkpoint state table,
+  merged treewise (elementwise max is associative + commutative) at
+  read time, so a resumed run's global distinct estimate needs no
+  re-scan of completed buckets.
+
+Standard HLL estimator with the usual small-range (linear counting)
+correction; p=12 → 4096 registers, ~1.6% typical error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+P = 12
+M = 1 << P  # registers
+
+
+def empty_sketch() -> bytes:
+    return bytes(M)
+
+
+def _fold(hashes: np.ndarray, registers: np.ndarray) -> None:
+    """Fold signed-int64 xxhash64 values into registers (vectorized)."""
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = h << np.uint64(P)  # remaining 64-P bits, left-aligned
+    # rho = leading zeros of rest + 1 (capped at 64-P+1)
+    rho = np.full(len(h), 64 - P + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        bits = rest[nz]
+        lz = np.zeros(bits.shape, dtype=np.uint8)
+        cur = bits.copy()
+        # vectorized CLZ via float64 log2 would lose precision; use the
+        # classic binary reduction — 6 passes, all vectorized
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        rho[nz] = lz + 1
+    np.maximum.at(registers, idx, rho)
+
+
+def sketch_from_hashes(hashes: np.ndarray) -> bytes:
+    regs = np.zeros(M, dtype=np.uint8)
+    if len(hashes):
+        _fold(hashes, regs)
+    return regs.tobytes()
+
+
+def merge_sketches(sketches: list[bytes]) -> bytes:
+    """Treewise (associative) merge: elementwise register max."""
+    out = np.zeros(M, dtype=np.uint8)
+    for s in sketches:
+        if s:
+            np.maximum(out, np.frombuffer(s, dtype=np.uint8), out=out)
+    return out.tobytes()
+
+
+def estimate(sketch: bytes) -> float:
+    regs = np.frombuffer(sketch, dtype=np.uint8).astype(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / M)
+    raw = alpha * M * M / np.sum(np.exp2(-regs))
+    zeros = np.count_nonzero(regs == 0)
+    if raw <= 2.5 * M and zeros:
+        return float(M * np.log(M / zeros))  # linear counting
+    return float(raw)
+
+
+def hll_by_bucket(df: DataFrame, key: str, bucket_col: str = "ckpt_bucket") -> DataFrame:
+    """(bucket, n_rows, sketch): per-bucket HLL registers.
+
+    One narrow scan: xxhash64 in the JVM, numpy register fold per
+    bucket group. Output is tiny (one row + 4KB per bucket)."""
+    import pandas as pd
+
+    hashed = df.select(
+        F.col(bucket_col), F.xxhash64(F.col(key)).alias("h")
+    ).where(F.col(key).isNotNull())
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "n_rows": [len(pdf)],
+                "sketch": [sketch_from_hashes(pdf["h"].to_numpy())],
+            }
+        )
+
+    return hashed.groupBy(bucket_col).applyInPandas(
+        fold, "bucket int, n_rows bigint, sketch binary"
+    )
+
+
+def distinct_estimate(sketches: list[bytes]) -> float:
+    return estimate(merge_sketches(sketches))

@@ -63,3 +63,34 @@ def test_lineage_mismatch_rejected(spark, img_df, tmp_path):
     run_checkpointed(img_df, _pass_fn, store, run_id="r4", n_buckets=4, buckets_per_job=4)
     with pytest.raises(ValueError, match="cannot resume"):
         run_checkpointed(img_df, _pass_fn, store, run_id="r4", n_buckets=8)
+
+
+def test_hll_sketch_lineage_and_treewise_merge(spark, img_df, tmp_path):
+    from sinter_spark.checkpoint import global_distinct
+    from sinter_spark.operators import sketch
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_checkpointed(img_df, _pass_fn, store, run_id="r5", n_buckets=8, buckets_per_job=4)
+    # every bucket row carries a 4KB register array
+    rows = store.metrics("r5").collect()
+    assert all(r["sketch"] is not None and len(bytes(r["sketch"])) == sketch.M for r in rows if r["rows"])
+    est = global_distinct(store, "r5")
+    exact = img_df.select("image_id").na.drop().distinct().count()
+    assert abs(est - exact) / exact < 0.05  # ~1.6% typical at p=12
+
+
+def test_sketch_merge_associativity():
+    import numpy as np
+
+    from sinter_spark.operators import sketch
+
+    rng = np.random.default_rng(0)
+    h1 = rng.integers(-(2**63), 2**63 - 1, 5000, dtype=np.int64)
+    h2 = rng.integers(-(2**63), 2**63 - 1, 5000, dtype=np.int64)
+    s1 = sketch.sketch_from_hashes(h1)
+    s2 = sketch.sketch_from_hashes(h2)
+    both = sketch.sketch_from_hashes(np.concatenate([h1, h2]))
+    assert sketch.merge_sketches([s1, s2]) == both  # union == concat
+    # estimate accuracy on 10k distinct
+    est = sketch.estimate(both)
+    assert abs(est - 10000) / 10000 < 0.05

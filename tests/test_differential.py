@@ -1,0 +1,103 @@
+"""Differential property test: driver grain ≡ table grain.
+
+The pure-Python pipeline (driver_validate) is the executable semantic
+spec; the Column-predicate binding (binding.py) must agree with it on
+arbitrary inputs. Hypothesis generates random row batches; we compare
+per-row violation (path, code) sets across both engines, modulo the
+documented divergence (null ≡ missing at table grain, SURVEY.md §7.3 —
+so generated rows never use None for required fields with defaults).
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sinter_spark import Schema, validate
+from sinter_spark.binding import bind
+from sinter_spark.sugar import field, use_schema
+
+
+def diff_schema():
+    return Schema.define(
+        [
+            ("name", "string", {"min_length": 2, "max_length": 8}),
+            ("age", "integer", {"optional": True, "gt": 0, "lt": 150}),
+            ("score", "float", {"optional": True, "gteq": 0.0, "lteq": 1.0}),
+            ("email", "string", {"optional": True, "format": r"^[a-z]+@[a-z]+$"}),
+            ("kind", "string", {"optional": True, "choices": ["a", "b", "c"]}),
+            ("uid", "uuid", {"optional": True}),
+        ]
+    )
+
+
+row_strategy = st.fixed_dictionaries(
+    {
+        "name": st.one_of(st.none(), st.text(min_size=0, max_size=12)),
+        "age": st.one_of(st.none(), st.integers(min_value=-5, max_value=200)),
+        "score": st.one_of(
+            st.none(), st.floats(min_value=-2, max_value=2, allow_nan=False)
+        ),
+        "email": st.one_of(
+            st.none(),
+            st.sampled_from(["ok@ok", "bad", "also@good", "", "x@"]),
+        ),
+        "kind": st.one_of(st.none(), st.sampled_from(["a", "b", "c", "z", ""])),
+        "uid": st.one_of(
+            st.none(),
+            st.sampled_from(
+                [
+                    "550e8400-e29b-41d4-a716-446655440000",
+                    "not-a-uuid",
+                    "550E8400-E29B-41D4-A716-446655440000",
+                ]
+            ),
+        ),
+    }
+)
+
+
+def driver_violations(schema, rows):
+    out = set()
+    for i, row in enumerate(rows):
+        # table grain: null ≡ missing → drop None keys for the driver
+        clean = {k: v for k, v in row.items() if v is not None}
+        ok, _, errors = validate(schema, clean)
+        for e in errors:
+            out.add((str(i), e.path, e.code))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(row_strategy, min_size=1, max_size=25))
+def test_driver_and_table_grain_agree(spark, rows):
+    schema = diff_schema()
+    pdf = pd.DataFrame(rows)
+    pdf.insert(0, "__id", [str(i) for i in range(len(rows))])
+    df = spark.createDataFrame(
+        pdf,
+        "__id string, name string, age long, score double, email string, kind string, uid string",
+    )
+    res = bind(schema, df, row_key="__id")
+    table = {
+        (r["row_key"], tuple(r["path"]), r["code"]) for r in res.violations.collect()
+    }
+    driver = driver_violations(schema, rows)
+    assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"
+
+
+def test_use_schema_sugar():
+    @use_schema
+    class UserSchema:
+        """User account"""
+
+        name = field("string", min_length=2)
+        age = field("integer", optional=True, gt=0)
+        __strict__ = True
+
+    assert isinstance(UserSchema, Schema)
+    assert UserSchema.config.strict
+    assert UserSchema.config.description == "User account"
+    assert UserSchema.required_fields() == ["name"]
+    ok, _, errs = validate(UserSchema, {"name": "x"})
+    assert errs[0].code == "min_length"
