@@ -305,36 +305,81 @@ def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[st
 # ---------------------------------------------------------------------------
 
 
-def _coerce(spec: Any, col: Column, dt: ST.DataType):
-    """Returns (value, new_dtype, checks) — checks carry :coercion
-    violations. Only safe conversions; never raises (types.ex:417)."""
+_COERCE_RULES = {
+    # inner primitive → (whole-string pass predicate, cast type, name)
+    "integer": (lambda x: x.rlike(r"^[+-]?\d+$"), "long", ST.LongType()),
+    "float": (lambda x: x.rlike(r"^[+-]?(\d+)(\.\d+)?([eE][+-]?\d+)?$"), "double", ST.DoubleType()),
+    "boolean": (lambda x: x.isin("true", "false"), None, ST.BooleanType()),
+}
+
+
+def _coerce(spec: Any, col: Column, dt: ST.DataType, path: Sequence[str] = ()):
+    """Returns (value, new_dtype, checks, array_checks) — checks carry
+    :coercion violations; array_checks are per-element indexed-path
+    violation arrays (types.ex:479-500 semantics). Only safe
+    conversions; never raises (types.ex:417)."""
     checks: list[tuple[str, Column, Column]] = []
     if isinstance(spec, tuple) and spec[0] == "nullable":
-        return _coerce(spec[1], col, dt)
+        return _coerce(spec[1], col, dt, path)
+    if (
+        isinstance(spec, tuple)
+        and spec[0] == "array"
+        and isinstance(dt, ST.ArrayType)
+        and isinstance(spec[1], str)
+        and spec[1] in _COERCE_RULES
+        and isinstance(dt.elementType, ST.StringType)
+    ):
+        # coerce array elements individually, indexed error paths
+        ok_fn, cast_ddl, new_edt = _COERCE_RULES[spec[1]]
+        target = spec[1]
+        base = _path_lit(path)
+
+        def cast_elem(x: Column) -> Column:
+            if cast_ddl is None:
+                return F.when(ok_fn(x), x == "true")
+            return F.when(ok_fn(x), x.cast(cast_ddl))
+
+        new_value = F.when(col.isNotNull(), F.transform(col, cast_elem))
+        arr = F.filter(
+            F.transform(
+                col,
+                lambda x, i: F.when(
+                    x.isNotNull() & ~ok_fn(x),
+                    _vstruct(
+                        F.concat(base, F.array(i.cast("string"))),
+                        "coercion",
+                        F.concat(F.lit("cannot coerce '"), x, F.lit(f"' to {target}")),
+                    ),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+        arr = F.when(col.isNotNull(), arr).otherwise(F.array().cast(_EMPTY_ARR))
+        return new_value, ST.ArrayType(new_edt), checks, [BoundCheck(arr, is_array=True)]
     if not isinstance(spec, str):
-        return col, dt, checks
+        return col, dt, checks, []
     if spec == "integer" and isinstance(dt, ST.StringType):
         ok = col.rlike(r"^[+-]?\d+$")  # whole-string parse (types.ex:428-433)
         msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to integer"))
         checks.append(("coercion", col.isNotNull() & ~ok, msg))
-        return F.when(ok, col.cast("long")), ST.LongType(), checks
+        return F.when(ok, col.cast("long")), ST.LongType(), checks, []
     if spec == "float":
         if isinstance(dt, ST.StringType):
             ok = col.rlike(r"^[+-]?(\d+)(\.\d+)?([eE][+-]?\d+)?$")
             msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to float"))
             checks.append(("coercion", col.isNotNull() & ~ok, msg))
-            return F.when(ok, col.cast("double")), ST.DoubleType(), checks
+            return F.when(ok, col.cast("double")), ST.DoubleType(), checks, []
         if isinstance(dt, _INT_TYPES):
-            return col.cast("double"), ST.DoubleType(), checks  # int→float ok
+            return col.cast("double"), ST.DoubleType(), checks, []  # int→float ok
     if spec == "boolean" and isinstance(dt, ST.StringType):
         ok = col.isin("true", "false")
         msg = F.concat(F.lit("cannot coerce '"), col, F.lit("' to boolean"))
         checks.append(("coercion", col.isNotNull() & ~ok, msg))
-        return F.when(ok, col == "true"), ST.BooleanType(), checks
+        return F.when(ok, col == "true"), ST.BooleanType(), checks, []
     if spec in ("string", "atom", "uuid", "date", "datetime") and not isinstance(dt, ST.StringType):
         if isinstance(dt, (ST.BooleanType,) + _INT_TYPES + _FLOAT_TYPES + (ST.DateType, ST.TimestampType)):
-            return col.cast("string"), ST.StringType(), checks
-    return col, dt, checks
+            return col.cast("string"), ST.StringType(), checks, []
+    return col, dt, checks, []
 
 
 # ---------------------------------------------------------------------------
@@ -368,15 +413,18 @@ def _bind_field(
     fpath = path + (fd.name,)
     plit = _path_lit(fpath)
 
-    # required: fires on null (missing ≡ null), before default application
-    if fd.required:
+    # required fires on null (missing ≡ null) — but defaults apply BEFORE
+    # the required check (validator_test.exs:170-178), so a defaulted
+    # field can never be required-violated
+    if fd.required and fd.default is None:
         checks.append(BoundCheck(F.when(value.isNull(), _vstruct(plit, "required", "field is required"))))
 
     # coercion before type check (validator.ex:310-333)
     if coerce:
-        value, dt, cchecks = _coerce(fd.type, value, dt)
+        value, dt, cchecks, achecks = _coerce(fd.type, value, dt, fpath)
         for code, cond, msg in cchecks:
             checks.append(BoundCheck(F.when(cond, _vstruct(plit, code, msg))))
+        checks.extend(achecks)
 
     guard = value.isNotNull()
 

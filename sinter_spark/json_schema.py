@@ -108,3 +108,24 @@ def _generate_object(schema: Schema, provider, strict, defs: dict) -> dict[str, 
 def for_provider(schema: Schema, provider: str, **opts) -> dict[str, Any]:
     """openai/anthropic variants (json_schema.ex:151-155)."""
     return generate(schema, provider=provider, **opts)
+
+
+def validate_schema(schema: Schema, **opts) -> tuple[bool, str]:
+    """Meta-schema validation of the generated JSON Schema
+    (json_schema.ex:176-188 validates via JSV). Uses the ``jsonschema``
+    package when present; degrades to a structural self-check otherwise
+    (the package is not guaranteed in this container, SURVEY.md §7.0)."""
+    doc = generate(schema, **opts)
+    try:
+        import jsonschema  # type: ignore
+
+        jsonschema.validators.validator_for(doc).check_schema(doc)
+        return True, "validated against meta-schema"
+    except ImportError:
+        required = set(doc.get("required", []))
+        props = set(doc.get("properties", {}))
+        if not required <= props:
+            return False, f"required fields missing from properties: {required - props}"
+        return True, "jsonschema package unavailable; structural self-check passed"
+    except Exception as e:  # noqa: BLE001
+        return False, str(e)

@@ -108,3 +108,38 @@ class TestMultimodal:
         frames = sample_video_frames(vids, n_frames=4).collect()
         assert len(frames) == 40
         assert {f["frame_idx"] for f in frames} == {0, 1, 2, 3}
+
+
+class TestStatefulStreaming:
+    def test_violation_streak_alarms(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from sinter_spark.streaming.stateful import violation_streaks
+
+        # synthetic stream: user 1 has 4 consecutive bad rows, user 2 clean
+        rows = []
+        for i in range(10):
+            rows.append({"event_id": i, "user_id": 1, "ts": float(i),
+                         "value": -1.0 if 3 <= i <= 6 else 5.0})
+        for i in range(10, 20):
+            rows.append({"event_id": i, "user_id": 2, "ts": float(i), "value": 5.0})
+        src = str(tmp_path / "src")
+        spark.createDataFrame(pd.DataFrame(rows)).write.parquet(src)
+
+        schema = Schema.define([("event_id", "integer"), ("value", "float", {"gt": 0})])
+        stream = spark.readStream.schema("event_id long, user_id long, ts double, value double").parquet(src)
+        alarms = violation_streaks(
+            schema, stream, key_col="user_id", ts_col="ts",
+            row_key="event_id", streak_threshold=3,
+        )
+        q = (
+            alarms.writeStream.outputMode("append").format("memory")
+            .queryName("alarms").option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {(r["key"], r["streak"]) for r in spark.sql("select * from alarms").collect()}
+        # user 1's streak peaks at 4 (rows 3..6); user 2 never violates
+        assert got == {("1", 4)}
