@@ -203,6 +203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = generate_images(spark, 2000, seed=42, max_dim=32, partitions=8)
         return decode_image_features(df)
 
+    def q_infer_events_schema(spark, sf):
+        # schema inference census (sinter.ex:368-399 semantics over a
+        # DataFrame): per-column inferred type + required (null ratio)
+        from sinter_spark.api import infer_schema_from_df
+
+        ev = _t(spark, sf, "events")
+        inferred = infer_schema_from_df(ev, sample=10**9)  # full census
+        rows = [
+            (n, str(fd.type), fd.required) for n, fd in inferred.fields.items()
+        ]
+        return spark.createDataFrame(rows, "field string, type_spec string, required boolean")
+
     def q_image_suite_violations(spark, sf):
         from sinter_spark.images import fmt_dim, generate_images, validate_images_full
 
@@ -233,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_near_pairs": q_rp_lsh_near_pairs,
         "image_decode_features": q_image_decode_features,
         "image_suite_violations": q_image_suite_violations,
+        "infer_events_schema": q_infer_events_schema,
     }
 
 
@@ -423,6 +436,21 @@ def oracle_sql() -> dict[str, str]:
                     FROM (SELECT bin, p FROM probs WHERE half = 'a') a
                     FULL JOIN (SELECT bin, p FROM probs WHERE half = 'b') b USING (bin))
             SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi FROM j
+        """,
+        "infer_events_schema": """
+            SELECT c.field,
+                   c.type_spec,
+                   CAST((SELECT CASE c.field
+                           WHEN 'event_id' THEN COUNT(event_id)
+                           WHEN 'ts' THEN COUNT(ts)
+                           WHEN 'user_id' THEN COUNT(user_id)
+                           WHEN 'event_type' THEN COUNT(event_type)
+                           WHEN 'value' THEN COUNT(value)
+                           ELSE COUNT(props) END
+                    FROM events) >= 0.8 * (SELECT COUNT(*) FROM events) AS BOOLEAN) AS required
+              FROM (VALUES ('event_id','integer'), ('ts','datetime'),
+                           ('user_id','integer'), ('event_type','string'),
+                           ('value','float'), ('props','string')) AS c(field, type_spec)
         """,
         # minhash_lsh_docs / simhash_docs / rp_lsh_near_pairs:
         # xxhash64/seeded-hyperplane based — not SQL-expressible; driver

@@ -154,7 +154,7 @@ def infer_schema_from_df(df, *, sample: int = 1000, min_occurrence_ratio: float 
             return "map"
         if isinstance(dt, (ST.DateType,)):
             return "date"
-        if isinstance(dt, (ST.TimestampType,)):
+        if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
             return "datetime"
         return "any"
 
