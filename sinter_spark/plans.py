@@ -1,0 +1,84 @@
+"""Constraint-plan introspection & plan-hygiene assertions.
+
+The schema struct is the only "plan" in the reference (SURVEY.md §3);
+here the bound plan is a list of Column predicates fused by Catalyst.
+These helpers make that plan inspectable (what will be checked, at
+which path, by which engine tier) and give tests/ops teeth to assert
+the physical properties the 100 TB design depends on: column-pruned
+scans, no unexpected shuffles in the row pass, broadcast dimension
+joins.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .schema import CONSTRAINT_KEYS, Schema
+from .types import PRIMITIVES
+
+
+def describe_plan(schema: Schema) -> list[dict[str, Any]]:
+    """Static description of every check the binding will emit:
+    (path, code, tier) where tier ∈ {static, predicate, parse,
+    python-hook}. Driver-side only — no Spark session needed."""
+    out: list[dict[str, Any]] = []
+
+    def spec_tier(spec: Any) -> str:
+        if isinstance(spec, str):
+            return "parse" if spec in ("date", "datetime", "uuid") else "static"
+        return "predicate"
+
+    for name, fd in schema.fields.items():
+        if fd.required and fd.default is None:
+            out.append({"path": [name], "code": "required", "tier": "predicate"})
+        t = fd.type
+        tier = spec_tier(t)
+        if not (isinstance(t, str) and t == "any"):
+            out.append({"path": [name], "code": "type", "tier": tier})
+        for key in CONSTRAINT_KEYS:
+            if key in fd.constraints:
+                out.append({"path": [name], "code": key, "tier": "predicate"})
+        if fd.validate:
+            out.append({"path": [name], "code": "custom_validation", "tier": "python-hook"})
+    if schema.config.post_validate:
+        out.append({"path": [], "code": "post_validation", "tier": "predicate"})
+    return out
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffles in the physical plan (each Exchange is a shuffle)."""
+    return len(re.findall(r"\bExchange\b", physical_plan(df)))
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Columns the parquet scan actually reads (ReadSchema) — the
+    column-pruning check: a validation pass that doesn't decode must
+    never list the payload column here."""
+    plan = physical_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip()]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def assert_row_pass_shape(df: DataFrame, *, forbidden_cols: tuple[str, ...] = ("bytes",)) -> None:
+    """Raise if the plan violates row-pass hygiene: any shuffle, or a
+    forbidden (wide payload) column in the scan."""
+    n = count_exchanges(df)
+    if n:
+        raise AssertionError(f"row pass contains {n} shuffle(s):\n{physical_plan(df)[:2000]}")
+    cols = scan_columns(df)
+    bad = [c for c in forbidden_cols if c in cols]
+    if bad:
+        raise AssertionError(f"row pass scans forbidden column(s) {bad}: ReadSchema={cols}")
