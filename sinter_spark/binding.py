@@ -339,7 +339,12 @@ def _coerce(spec: Any, col: Column, dt: ST.DataType, path: Sequence[str] = ()):
                 return F.when(ok_fn(x), x == "true")
             return F.when(ok_fn(x), x.cast(cast_ddl))
 
-        new_value = F.when(col.isNotNull(), F.transform(col, cast_elem))
+        # a field whose coercion failed has NO validated value, and its
+        # type/constraint checks never run (validator.ex:310-333 with-
+        # chain short-circuit) — nulling the value lets the standard
+        # isNotNull guard suppress them
+        any_bad = F.exists(col, lambda x: x.isNotNull() & ~ok_fn(x))
+        new_value = F.when(col.isNotNull() & ~any_bad, F.transform(col, cast_elem))
         arr = F.filter(
             F.transform(
                 col,

@@ -101,3 +101,59 @@ def test_use_schema_sugar():
     assert UserSchema.required_fields() == ["name"]
     ok, _, errs = validate(UserSchema, {"name": "x"})
     assert errs[0].code == "min_length"
+
+
+def coerce_schema():
+    return Schema.define(
+        [
+            ("sid", "string"),
+            ("n", "integer", {"gt": 10, "optional": True}),
+            ("f", "float", {"lteq": 1.0, "optional": True}),
+            ("flag", "boolean", {"optional": True}),
+            ("nums", ("array", "integer"), {"optional": True, "max_items": 3}),
+            ("nick", "string", {"optional": True, "alias": "nickName", "min_length": 2}),
+            ("lvl", "integer", {"default": 1, "gteq": 0}),
+        ]
+    )
+
+
+coerce_row = st.fixed_dictionaries(
+    {
+        "sid": st.sampled_from(["a", "b", "c"]),
+        "n": st.one_of(st.none(), st.sampled_from(["42", "5", "42abc", "3.14", "-7", ""])),
+        "f": st.one_of(st.none(), st.sampled_from(["0.5", "2.5", "1", "x", "1e-3"])),
+        "flag": st.one_of(st.none(), st.sampled_from(["true", "false", "yes", ""])),
+        "nums": st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(["1", "2", "bad", "-3", "9.9"]), max_size=4),
+        ),
+        "nickName": st.one_of(st.none(), st.sampled_from(["zz", "q", "longername", ""])),
+        "lvl": st.one_of(st.none(), st.sampled_from(["3", "-2", "nope"])),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(coerce_row, min_size=1, max_size=20))
+def test_coercion_grains_agree(spark, rows):
+    """Coercion + arrays + alias + default: both grains, identical
+    (row, path, code) violation sets under coerce=True."""
+    schema = coerce_schema()
+    pdf = pd.DataFrame(rows)
+    pdf.insert(0, "__id", [str(i) for i in range(len(rows))])
+    df = spark.createDataFrame(
+        pdf,
+        "__id string, sid string, n string, f string, flag string, "
+        "nums array<string>, nickName string, lvl string",
+    )
+    res = bind(schema, df, row_key="__id", coerce=True)
+    table = {
+        (r["row_key"], tuple(r["path"]), r["code"]) for r in res.violations.collect()
+    }
+    driver = set()
+    for i, row in enumerate(rows):
+        clean = {k: v for k, v in row.items() if v is not None}
+        ok, _, errors = validate(schema, clean, coerce=True)
+        for e in errors:
+            driver.add((str(i), e.path, e.code))
+    assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"
