@@ -634,6 +634,19 @@ class TableValidationResult:
     def ok(self) -> bool:
         return self.flagged.where(F.size("__errs") > 0).limit(1).count() == 0
 
+    def raise_if_invalid(self, sample: int = 10) -> DataFrame:
+        """validate!-style gate (error.ex:352-403 at table grain):
+        returns the validated DataFrame, or raises ValidationError
+        carrying a sample of the violation rows."""
+        from .errors import Error, ValidationError
+
+        rows = self.violations.limit(sample).collect()
+        if rows:
+            raise ValidationError(
+                [Error.new(list(r["path"]), r["code"], r["message"]) for r in rows]
+            )
+        return self.validated
+
 
 def bind(
     schema: Schema,

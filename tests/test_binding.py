@@ -332,3 +332,22 @@ class TestComposites:
             ("3", ("msg",), "unknown_discriminator"),
             ("4", ("msg",), "missing_discriminator"),
         }
+
+
+class TestRaiseIfInvalid:
+    def test_returns_validated_when_clean(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame([Row(name="Alice")])
+        out = bind(Schema.define([("name", "string")]), df).raise_if_invalid()
+        assert out.count() == 1
+
+    def test_raises_with_sample(self, spark):
+        from pyspark.sql import Row
+
+        from sinter_spark import ValidationError
+
+        df = spark.createDataFrame([Row(id="1", name=None)], "id string, name string")
+        with pytest.raises(ValidationError) as ei:
+            bind(Schema.define([("name", "string")]), df, row_key="id").raise_if_invalid()
+        assert "required" in str(ei.value)
