@@ -300,6 +300,43 @@ def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[st
     return [BoundCheck(arr, is_array=True)]
 
 
+def _map_element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[BoundCheck]:
+    """Per-entry runtime checks for map columns: every key and value
+    validated, violation paths carry the key (types.ex:274-308)."""
+    if not (isinstance(spec, tuple) and spec[0] == "map" and isinstance(dt, ST.MapType)):
+        return []
+    kspec, vspec = spec[1], spec[2]
+    base = _path_lit(path)
+    out: list[BoundCheck] = []
+
+    def entry_check(sub_spec, sub_dt, getter):
+        probe = _type_violation(sub_spec, F.lit(None).cast(sub_dt), sub_dt)
+        if probe is None:
+            return None
+
+        def emit(e: Column) -> Column:
+            target = getter(e)
+            r = _type_violation(sub_spec, target, sub_dt)
+            p = F.concat(base, F.array(e.getField("key").cast("string")))
+            if r[0] == "static":
+                return _vstruct(p, r[1], r[2])
+            return F.when(target.isNotNull() & r[2], _vstruct(p, r[1], r[3]))
+
+        arr = F.filter(F.transform(F.map_entries(value), emit), lambda s: s.isNotNull())
+        return BoundCheck(
+            F.when(value.isNotNull(), arr).otherwise(F.array().cast(_EMPTY_ARR)),
+            is_array=True,
+        )
+
+    kc = entry_check(kspec, dt.keyType, lambda e: e.getField("key"))
+    if kc is not None:
+        out.append(kc)
+    vc = entry_check(vspec, dt.valueType, lambda e: e.getField("value"))
+    if vc is not None:
+        out.append(vc)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # coercion (types.ex:417-581) — try_cast with whole-string strictness
 # ---------------------------------------------------------------------------
@@ -449,6 +486,7 @@ def _bind_field(
             else:
                 checks.append(BoundCheck(F.when(guard & tv[2], _vstruct(plit, tv[1], tv[3]))))
         checks.extend(_element_checks(spec, value, dt, fpath))
+        checks.extend(_map_element_checks(spec, value, dt, fpath))
 
     # constraints on (possibly coerced) value (validator_test.exs:450-464)
     for code, cond, msg in _constraint_checks(fd, value, dt, fpath):

@@ -351,3 +351,26 @@ class TestRaiseIfInvalid:
         with pytest.raises(ValidationError) as ei:
             bind(Schema.define([("name", "string")]), df, row_key="id").raise_if_invalid()
         assert "required" in str(ei.value)
+
+
+class TestMapElements:
+    def test_map_value_checks_with_key_paths(self, spark):
+        # types.ex:274-308: every key and value validated; path gets the key
+        df = spark.createDataFrame(
+            [Row(id="1", props={"a": "2024-01-15", "b": "junk"})],
+            "id string, props map<string,string>",
+        )
+        s = Schema.define([("props", ("map", "string", "date"))])
+        res = bind(s, df, row_key="id")
+        got = {(tuple(r["path"]), r["code"]) for r in res.violations.collect()}
+        assert got == {(("props", "b"), "format")}
+
+    def test_map_uuid_keys(self, spark):
+        df = spark.createDataFrame(
+            [Row(id="1", m={"550e8400-e29b-41d4-a716-446655440000": 1, "nope": 2})],
+            "id string, m map<string,int>",
+        )
+        s = Schema.define([("m", ("map", "uuid", "integer"))])
+        res = bind(s, df, row_key="id")
+        got = {(tuple(r["path"]), r["code"]) for r in res.violations.collect()}
+        assert got == {(("m", "nope"), "format")}
