@@ -35,7 +35,7 @@ from pyspark.sql import types as ST
 
 from .errors import VIOLATION_DDL
 from .schema import FieldDef, Schema
-from .types import UUID_RE_JAVA, type_name as py_type_name
+from .types import DATETIME_ISO_RE_JAVA, UUID_RE_JAVA, type_name as py_type_name
 
 VSTRUCT_DDL = "struct<path:array<string>,code:string,message:string,context:map<string,string>>"
 _EMPTY_ARR = f"array<{VSTRUCT_DDL}>"
@@ -145,7 +145,13 @@ def _type_violation(spec: Any, col: Column, dt: ST.DataType):
             if isinstance(dt, (ST.TimestampType, ST.TimestampNTZType)):
                 return None
             if isinstance(dt, ST.StringType):
-                cond = F.try_to_timestamp(F.replace(col, F.lit("Z"), F.lit("+00:00"))).isNull()
+                # anchored shape gate first: Spark's try_to_timestamp is
+                # laxer than the reference (accepts date-only strings);
+                # the shared regex keeps driver/binding/reference aligned
+                cond = ~(
+                    col.rlike(DATETIME_ISO_RE_JAVA)
+                    & F.try_to_timestamp(F.replace(col, F.lit("Z"), F.lit("+00:00"))).isNotNull()
+                )
                 return ("cond", "format", cond, "expected ISO8601 datetime string")
             return ("static", "type", f"expected datetime string, got {got}")
         if spec == "uuid":
@@ -273,26 +279,52 @@ def _constraint_checks(fd: FieldDef, value: Column, dt: ST.DataType, path: Seque
     return out
 
 
+def _null_element_error(spec: Any) -> tuple[str, str] | None:
+    """(code, message) a NULL element must raise, or None if the spec
+    accepts null. Delegates to the driver engine's verdict on ``None``
+    so the two grains agree verbatim (types.ex rejects nil elements
+    inside a present list: 'expected X, got nil')."""
+    from .types import validate_value
+
+    ok, _, errs = validate_value(spec, None)
+    if ok or not errs:
+        return None
+    return errs[0].code, errs[0].message
+
+
 def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[BoundCheck]:
     """Per-element runtime checks for array columns, emitting indexed
     violation paths (types.ex:194-238) without exploding the table:
-    transform+filter builds the violation structs in place."""
+    transform+filter builds the violation structs in place.
+
+    NULL elements inside a present array are violations unless the
+    element spec accepts null ((nullable,...)/any/null) — matching the
+    driver grain; the null≡missing divergence (SURVEY §7.3) covers
+    top-level columns only."""
     if not (isinstance(spec, tuple) and spec[0] == "array" and isinstance(dt, ST.ArrayType)):
         return []
     inner = spec[1]
     elem_dt = dt.elementType
 
     probe = _type_violation(inner, F.lit(None).cast(elem_dt), elem_dt)
-    if probe is None:
+    null_err = _null_element_error(inner)
+    if probe is None and null_err is None:
         return []
     base = _path_lit(path)
 
     def emit(x: Column, i: Column) -> Column:
-        r = _type_violation(inner, x, elem_dt)
         p = F.concat(base, F.array(i.cast("string")))
-        if r[0] == "static":
-            return _vstruct(p, r[1], r[2])
-        return F.when(x.isNotNull() & r[2], _vstruct(p, r[1], r[3]))
+        if probe is None:
+            nonnull = F.lit(None).cast(VSTRUCT_DDL)
+        else:
+            r = _type_violation(inner, x, elem_dt)
+            if r[0] == "static":
+                nonnull = _vstruct(p, r[1], r[2])
+            else:
+                nonnull = F.when(r[2], _vstruct(p, r[1], r[3]))
+        if null_err is None:
+            return F.when(x.isNotNull(), nonnull)
+        return F.when(x.isNull(), _vstruct(p, *null_err)).otherwise(nonnull)
 
     arr = F.filter(F.transform(value, emit), lambda s: s.isNotNull())
     # null array → no element violations
@@ -311,16 +343,24 @@ def _map_element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequenc
 
     def entry_check(sub_spec, sub_dt, getter):
         probe = _type_violation(sub_spec, F.lit(None).cast(sub_dt), sub_dt)
-        if probe is None:
+        null_err = _null_element_error(sub_spec)
+        if probe is None and null_err is None:
             return None
 
         def emit(e: Column) -> Column:
             target = getter(e)
-            r = _type_violation(sub_spec, target, sub_dt)
             p = F.concat(base, F.array(e.getField("key").cast("string")))
-            if r[0] == "static":
-                return _vstruct(p, r[1], r[2])
-            return F.when(target.isNotNull() & r[2], _vstruct(p, r[1], r[3]))
+            if probe is None:
+                nonnull = F.lit(None).cast(VSTRUCT_DDL)
+            else:
+                r = _type_violation(sub_spec, target, sub_dt)
+                if r[0] == "static":
+                    nonnull = _vstruct(p, r[1], r[2])
+                else:
+                    nonnull = F.when(r[2], _vstruct(p, r[1], r[3]))
+            if null_err is None:
+                return F.when(target.isNotNull(), nonnull)
+            return F.when(target.isNull(), _vstruct(p, *null_err)).otherwise(nonnull)
 
         arr = F.filter(F.transform(F.map_entries(value), emit), lambda s: s.isNotNull())
         return BoundCheck(
@@ -379,18 +419,24 @@ def _coerce(spec: Any, col: Column, dt: ST.DataType, path: Sequence[str] = ()):
         # a field whose coercion failed has NO validated value, and its
         # type/constraint checks never run (validator.ex:310-333 with-
         # chain short-circuit) — nulling the value lets the standard
-        # isNotNull guard suppress them
-        any_bad = F.exists(col, lambda x: x.isNotNull() & ~ok_fn(x))
+        # isNotNull guard suppress them. NULL elements are coercion
+        # failures too (reference coerce(:integer, nil) catch-all →
+        # :coercion, types.ex:437-438), matching the driver grain.
+        any_bad = F.exists(col, lambda x: x.isNull() | ~ok_fn(x))
         new_value = F.when(col.isNotNull() & ~any_bad, F.transform(col, cast_elem))
         arr = F.filter(
             F.transform(
                 col,
                 lambda x, i: F.when(
-                    x.isNotNull() & ~ok_fn(x),
+                    x.isNull() | ~ok_fn(x),
                     _vstruct(
                         F.concat(base, F.array(i.cast("string"))),
                         "coercion",
-                        F.concat(F.lit("cannot coerce '"), x, F.lit(f"' to {target}")),
+                        F.concat(
+                            F.lit("cannot coerce '"),
+                            F.coalesce(x, F.lit("nil")),
+                            F.lit(f"' to {target}"),
+                        ),
                     ),
                 ),
             ),
@@ -471,11 +517,16 @@ def _bind_field(
     guard = value.isNotNull()
 
     # type check (dispatch per §1.2)
+    # type_ok accumulates the reference's with-chain short-circuit
+    # (validator.ex:310-333): constraints never run on a value whose
+    # type check (incl. per-element checks) failed
+    type_ok: Column | bool = True
     spec = fd.type
     if isinstance(spec, tuple) and spec[0] in ("object", "discriminated_union"):
         tv = _type_violation(spec, value, dt)
         if tv is not None and tv[0] == "static":
             checks.append(BoundCheck(F.when(guard, _vstruct(plit, tv[1], tv[2]))))
+            type_ok = False
         else:
             checks.extend(_bind_struct(spec, value, dt, fpath, coerce, guard))
     else:
@@ -483,19 +534,36 @@ def _bind_field(
         if tv is not None:
             if tv[0] == "static":
                 checks.append(BoundCheck(F.when(guard, _vstruct(plit, tv[1], tv[2]))))
+                type_ok = False
             else:
                 checks.append(BoundCheck(F.when(guard & tv[2], _vstruct(plit, tv[1], tv[3]))))
-        checks.extend(_element_checks(spec, value, dt, fpath))
-        checks.extend(_map_element_checks(spec, value, dt, fpath))
+                type_ok = ~tv[2]
+        for ec in _element_checks(spec, value, dt, fpath) + _map_element_checks(spec, value, dt, fpath):
+            checks.append(ec)
+            elem_ok = F.size(ec.column) == 0
+            type_ok = elem_ok if type_ok is True else (type_ok & elem_ok if type_ok is not False else False)
 
-    # constraints on (possibly coerced) value (validator_test.exs:450-464)
-    for code, cond, msg in _constraint_checks(fd, value, dt, fpath):
-        checks.append(BoundCheck(F.when(guard & cond, _vstruct(plit, code, msg))))
+    # constraints on (possibly coerced) value (validator_test.exs:450-464);
+    # suppressed when the type stage failed (with-chain short-circuit)
+    cons_ok: Column | bool = True
+    if type_ok is not False:
+        cguard = guard if type_ok is True else guard & type_ok
+        for code, cond, msg in _constraint_checks(fd, value, dt, fpath):
+            checks.append(BoundCheck(F.when(cguard & cond, _vstruct(plit, code, msg))))
+            ok = ~cond
+            cons_ok = ok if cons_ok is True else cons_ok & ok
 
-    # custom field validators → Arrow-batched pandas UDF (validator.ex:362-408)
-    if fd.validate:
+    # custom field validators → Arrow-batched pandas UDF
+    # (validator.ex:362-408); the with-chain runs them only after type
+    # and constraint stages both passed
+    if fd.validate and type_ok is not False:
         err = _custom_validator_udf(fd.validate)(value)
         cond = guard & err.isNotNull()
+        if type_ok is not True:
+            cond = cond & type_ok
+        if cons_ok is not True:
+            # null-safe: a null constraint cond (null value) never blocks
+            cond = cond & F.coalesce(cons_ok, F.lit(True))
         is_raise = err.startswith("\x00")
         checks.append(
             BoundCheck(

@@ -117,8 +117,18 @@ class CheckpointStore:
 
 
 def bucket_col(key_col: str, n_buckets: int):
-    """Stable data-derived partition id (restart-proof lineage key)."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    """Stable data-derived partition id (restart-proof lineage key).
+
+    Hashes the STRING form of the key so that a violation row's bucket
+    is derivable from its ``row_key`` (which is the key cast to string)
+    without joining back to the source — see :func:`violation_bucket`.
+    """
+    return violation_bucket(F.col(key_col).cast("string"), n_buckets)
+
+
+def violation_bucket(row_key_col, n_buckets: int):
+    """Same bucket mapping applied to a violation's string row_key."""
+    return F.pmod(F.xxhash64(row_key_col), F.lit(n_buckets)).cast("int")
 
 
 def run_checkpointed(
@@ -136,10 +146,20 @@ def run_checkpointed(
     """Run ``pass_fn`` (sub-DataFrame → violation rows) over the table in
     resumable bucket chunks.
 
-    Each chunk: filter pending buckets → compute violations → write them
-    partitioned by ckpt_bucket (dynamic overwrite = idempotent) → commit
-    per-bucket state rows (rows/violations/stats). ``fail_after`` kills
-    the run after N chunks (test hook for crash/resume).
+    Each chunk is exactly TWO source scans:
+
+    1. violations: compute ``pass_fn`` once; each violation's
+       ``ckpt_bucket`` is DERIVED from its ``row_key`` (the same hash the
+       source bucketing uses on the string-cast key — no join back to the
+       source, and no unattributable bucket is possible), persisted, then
+       written partitioned by ckpt_bucket (dynamic overwrite = idempotent)
+       and counted from the persisted result;
+    2. metrics: one ``hll_by_bucket`` pass yielding per-bucket row counts
+       AND the HLL key sketch together.
+
+    The per-bucket state row commits *after* the data write, so a crash
+    between the two re-runs that bucket idempotently. ``fail_after``
+    kills the run after N chunks (test hook for crash/resume).
     """
     run_id = store.begin_run(run_id, n_buckets=n_buckets, key_col=key_col)
     violations_dir = violations_dir or f"{store.path}/violations/{run_id}"
@@ -147,53 +167,45 @@ def run_checkpointed(
     pending = [b for b in range(n_buckets) if b not in done]
     bcol = bucket_col(key_col, n_buckets).alias("ckpt_bucket")
     src = df.withColumn("ckpt_bucket", bcol)
+    from .operators.sketch import hll_by_bucket
 
     chunks = [pending[i : i + buckets_per_job] for i in range(0, len(pending), buckets_per_job)]
     for ci, chunk in enumerate(chunks):
         if fail_after is not None and ci >= fail_after:
             raise RuntimeError(f"injected failure after {ci} chunks")
         sub = src.where(F.col("ckpt_bucket").isin(chunk))
-        # violations keep their originating bucket for idempotent overwrite
-        viol = pass_fn(sub.drop("ckpt_bucket"))
-        viol = viol.join(
-            sub.select(F.col(key_col).cast("string").alias("row_key"), "ckpt_bucket").dropDuplicates(["row_key"]),
-            "row_key",
-            "left",
-        ).withColumn("ckpt_bucket", F.coalesce("ckpt_bucket", F.lit(-1)))
-        (
-            viol.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ckpt_bucket")
-            .parquet(violations_dir)
+        # scan 1: violations — bucket derived from row_key, no join back
+        viol = pass_fn(sub.drop("ckpt_bucket")).withColumn(
+            "ckpt_bucket", violation_bucket(F.col("row_key"), n_buckets)
         )
-        # per-bucket metrics + HLL sketch of the key, one narrow scan
-        # each (the sketch is the resumable analogue of
-        # approx_count_distinct — merged treewise at read time)
-        from .operators.sketch import hll_by_bucket
-
-        stats_rows = (
-            sub.groupBy("ckpt_bucket")
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        )
-        sketches = {
-            r["bucket"]: bytes(r["sketch"])
-            for r in hll_by_bucket(sub, key_col).collect()
-        }
-        vcounts = {
-            r["ckpt_bucket"]: r["n"]
-            for r in viol.groupBy("ckpt_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        viol = viol.persist()
+        try:
+            (
+                viol.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ckpt_bucket")
+                .parquet(violations_dir)
+            )
+            vcounts = {
+                r["ckpt_bucket"]: r["n"]
+                for r in viol.groupBy("ckpt_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        finally:
+            viol.unpersist()
+        # scan 2: per-bucket rows + HLL sketch of the key in ONE pass
+        # (the sketch is the resumable analogue of approx_count_distinct —
+        # merged treewise at read time)
         bucket_stats = []
-        for r in stats_rows:
-            b = r["ckpt_bucket"]
+        for r in hll_by_bucket(sub, key_col).collect():
+            b = r["bucket"]
+            nrows = r["n_rows"]
             bucket_stats.append(
                 {
                     "bucket": b,
-                    "rows": r["rows"],
+                    "rows": nrows,
                     "violations": vcounts.get(b, 0),
-                    "stats": {"violation_rate": (vcounts.get(b, 0) / r["rows"]) if r["rows"] else 0.0},
-                    "sketch": sketches.get(b),
+                    "stats": {"violation_rate": (vcounts.get(b, 0) / nrows) if nrows else 0.0},
+                    "sketch": bytes(r["sketch"]),
                 }
             )
         # buckets with zero rows still count as done
@@ -201,7 +213,7 @@ def run_checkpointed(
         for b in chunk:
             if b not in seen:
                 bucket_stats.append({"bucket": b, "rows": 0, "violations": 0, "stats": {}})
-        store.mark_done(run_id, [bs for bs in bucket_stats if bs["bucket"] in chunk or bs["bucket"] == -1])
+        store.mark_done(run_id, [bs for bs in bucket_stats if bs["bucket"] in chunk])
     return run_id
 
 

@@ -132,6 +132,19 @@ def _validate_field_value(
     (order: validator.ex:310-358)."""
     spec = fd.type
 
+    # nullable-wrapped objects recurse like bare objects when the value
+    # is present (reference handles {:nullable, {:object, s}} explicitly)
+    if (
+        isinstance(spec, tuple)
+        and spec
+        and spec[0] == "nullable"
+        and isinstance(spec[1], tuple)
+        and spec[1]
+        and spec[1][0] == "object"
+        and value is not None
+    ):
+        spec = spec[1]
+
     # nested object recursion (validator.ex:298-308)
     if isinstance(spec, tuple) and spec and spec[0] == "object":
         if not isinstance(value, Mapping):

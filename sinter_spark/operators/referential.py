@@ -13,9 +13,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def orphans(fact: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
-    """Fact rows whose key has no match in dim (left_anti ≙ NOT EXISTS)."""
+    """Fact rows whose key has no match in dim (left_anti ≙ NOT EXISTS).
+
+    NULL fact keys are NOT orphans: null-handling belongs to the
+    'required' check, mirroring SQL ``key IS NOT NULL AND key NOT IN
+    (SELECT ...)`` and the dim-side dropna."""
     keys = [on] if isinstance(on, str) else list(on)
-    return fact.join(F.broadcast(dim.select(*keys).dropna().distinct()), keys, "left_anti")
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return fact.where(cond).join(
+        F.broadcast(dim.select(*keys).dropna().distinct()), keys, "left_anti"
+    )
 
 
 def referential_violations(

@@ -16,6 +16,9 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .dedup import _cap_buckets
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -123,10 +126,18 @@ def rp_lsh_near_pairs(
     bands: int = 4,
     seed: int = 7,
     round_to: int | None = 6,
+    max_bucket: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """Approximate near-dup pairs: random-hyperplane signature split
     into ``bands`` blocks; pairs sharing ≥1 block get their exact
-    cosine verified. Recall grows with bands; cost stays near-linear."""
+    cosine verified. Recall grows with bands; cost stays near-linear.
+
+    The block table is persisted before the self-join (signature
+    subtree computed once) and blocks larger than ``max_bucket`` are
+    dropped — a degenerate embedding distribution (e.g. millions of
+    zero vectors in one block) would otherwise make the join quadratic.
+    """
     sigs = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
     bits_per = n_planes // bands
     blocks = F.explode(
@@ -143,6 +154,9 @@ def rp_lsh_near_pairs(
         )
     ).alias("bb")
     bt = sigs.select(id_col, blocks).select(id_col, F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
+    if cache:
+        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
     a = bt.alias("a")
     b = bt.alias("b")
     cand = (

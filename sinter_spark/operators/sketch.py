@@ -81,22 +81,26 @@ def estimate(sketch: bytes) -> float:
 
 
 def hll_by_bucket(df: DataFrame, key: str, bucket_col: str = "ckpt_bucket") -> DataFrame:
-    """(bucket, n_rows, sketch): per-bucket HLL registers.
+    """(bucket, n_rows, sketch): per-bucket HLL registers AND total row
+    count in ONE pass (``n_rows`` counts every row; null keys are
+    excluded from the sketch only).
 
     One narrow scan: xxhash64 in the JVM, numpy register fold per
     bucket group. Output is tiny (one row + 4KB per bucket)."""
     import pandas as pd
 
     hashed = df.select(
-        F.col(bucket_col), F.xxhash64(F.col(key)).alias("h")
-    ).where(F.col(key).isNotNull())
+        F.col(bucket_col),
+        F.xxhash64(F.col(key)).alias("h"),
+        F.col(key).isNotNull().alias("valid"),
+    )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "bucket": [int(pdf[bucket_col].iloc[0])],
                 "n_rows": [len(pdf)],
-                "sketch": [sketch_from_hashes(pdf["h"].to_numpy())],
+                "sketch": [sketch_from_hashes(pdf["h"][pdf["valid"]].to_numpy())],
             }
         )
 

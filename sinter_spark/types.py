@@ -62,6 +62,18 @@ _INT_RE = re.compile(r"^[+-]?\d+$")
 # Elixir Float.parse accepts "42" → 42.0 (digits, optional fraction/exp)
 _FLOAT_RE = re.compile(r"^[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$")
 
+# Anchored ISO shapes, shared by driver and Spark binding so the two
+# grains agree: Python fromisoformat (3.11+) is laxer than the
+# reference (NaiveDateTime.from_iso8601 rejects date-only datetimes
+# and compact '20230101' dates), so both engines pre-gate on these.
+_DATE_ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_ISO_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+)
+#: Java-regex forms usable in Spark ``rlike``.
+DATE_ISO_RE_JAVA = r"^\d{4}-\d{2}-\d{2}$"
+DATETIME_ISO_RE_JAVA = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+
 
 class TypeSpecError(ValueError):
     """Raised for malformed type specs at define time (schema.ex:451-528)."""
@@ -235,8 +247,10 @@ def validate_value(spec: Any, value: Any, path: tuple = ()) -> tuple[bool, Any, 
         elif spec == "date":
             if isinstance(value, str):
                 try:
-                    date.fromisoformat(value)
-                    return True, value, []
+                    if _DATE_ISO_RE.match(value):
+                        date.fromisoformat(value)
+                        return True, value, []
+                    raise ValueError(value)
                 except ValueError:
                     return False, value, [Error.new(p, "format", "expected ISO8601 date string")]
             return False, value, [
@@ -245,8 +259,10 @@ def validate_value(spec: Any, value: Any, path: tuple = ()) -> tuple[bool, Any, 
         elif spec == "datetime":
             if isinstance(value, str):
                 try:
-                    datetime.fromisoformat(value.replace("Z", "+00:00"))
-                    return True, value, []
+                    if _DATETIME_ISO_RE.match(value):
+                        datetime.fromisoformat(value.replace("Z", "+00:00"))
+                        return True, value, []
+                    raise ValueError(value)
                 except ValueError:
                     return False, value, [
                         Error.new(p, "format", "expected ISO8601 datetime string")
@@ -484,10 +500,24 @@ def coerce_value(spec: Any, value: Any) -> tuple[bool, Any, list[Error]]:
             if ok:
                 out.append(v)
             else:
-                errors.extend(Error.new([str(i)], e.code, e.message) for e in errs)
+                errors.extend(
+                    Error.new([str(i)] + list(e.path), e.code, e.message) for e in errs
+                )
         if errors:
             return False, value, errors
         return True, out, []
+    if tag == "object":
+        # Types.coerce({:object, schema}) validates with coerce: true in
+        # the reference, so nested string→int coercion succeeds at any
+        # depth (e.g. inside arrays/unions/nullable wrappers).
+        from .driver_validate import validate as _validate_map
+
+        if not isinstance(value, dict):
+            return True, value, []  # let validate_value report the type error
+        ok, out, errs = _validate_map(spec[1], value, coerce=True)
+        if ok:
+            return True, out, []
+        return False, value, errs
     if tag == "union":
         for member in spec[1]:
             ok, v, _ = coerce_value(member, value)
@@ -506,8 +536,10 @@ def _num_to_str(v: Any) -> str:
 
 
 def _cerr(value: Any, target: str) -> tuple[bool, Any, list[Error]]:
+    # reference renders via inspect/1: nil → 'nil' (types.ex:437-438)
+    shown = "nil" if value is None else repr(value)
     return False, value, [
-        Error.new([], "coercion", f"cannot coerce '{value!r}' to {target}")
+        Error.new([], "coercion", f"cannot coerce '{shown}' to {target}")
     ]
 
 

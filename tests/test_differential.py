@@ -27,6 +27,10 @@ def diff_schema():
             ("email", "string", {"optional": True, "format": r"^[a-z]+@[a-z]+$"}),
             ("kind", "string", {"optional": True, "choices": ["a", "b", "c"]}),
             ("uid", "uuid", {"optional": True}),
+            # array with non-nullable elements: null elements inside a
+            # present array must violate at BOTH grains (ADVICE r1)
+            ("tags", ("array", "string"), {"optional": True, "max_items": 3}),
+            ("opts", ("array", ("nullable", "integer")), {"optional": True}),
         ]
     )
 
@@ -53,6 +57,14 @@ row_strategy = st.fixed_dictionaries(
                 ]
             ),
         ),
+        "tags": st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.sampled_from(["x", "yy", ""])), max_size=4),
+        ),
+        "opts": st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.integers(-3, 3)), max_size=3),
+        ),
     }
 )
 
@@ -76,7 +88,8 @@ def test_driver_and_table_grain_agree(spark, rows):
     pdf.insert(0, "__id", [str(i) for i in range(len(rows))])
     df = spark.createDataFrame(
         pdf,
-        "__id string, name string, age long, score double, email string, kind string, uid string",
+        "__id string, name string, age long, score double, email string, "
+        "kind string, uid string, tags array<string>, opts array<long>",
     )
     res = bind(schema, df, row_key="__id")
     table = {
@@ -125,7 +138,10 @@ coerce_row = st.fixed_dictionaries(
         "flag": st.one_of(st.none(), st.sampled_from(["true", "false", "yes", ""])),
         "nums": st.one_of(
             st.none(),
-            st.lists(st.sampled_from(["1", "2", "bad", "-3", "9.9"]), max_size=4),
+            st.lists(
+                st.one_of(st.none(), st.sampled_from(["1", "2", "bad", "-3", "9.9"])),
+                max_size=4,
+            ),
         ),
         "nickName": st.one_of(st.none(), st.sampled_from(["zz", "q", "longername", ""])),
         "lvl": st.one_of(st.none(), st.sampled_from(["3", "-2", "nope"])),
