@@ -92,9 +92,9 @@ def decode_violations(df: DataFrame, *, check_caption: bool = True, min_parallel
     the payload — cheaper than idle cores; real deployments instead
     size spark.sql.files.maxPartitionBytes)."""
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
-    para = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(para // 2, 1):
-        df = df.repartition(para)
+    from ..plans import widen_small_scan
+
+    df = widen_small_scan(df, min_parallelism=min_parallelism)
 
     def run(batches):
         for pdf in batches:

@@ -134,6 +134,8 @@ def minhash_signatures(
     over the same distinct-shingle set), so banding downstream is
     unchanged.
     """
+    from ..plans import widen_small_scan
+
     seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))  # array<int>, constant-folded
     init = F.array_repeat(F.lit(_LONG_MAX).cast("bigint"), n_hashes)
     sig = F.aggregate(
@@ -141,7 +143,9 @@ def minhash_signatures(
         init,
         lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(i, s))),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    # hashing is compute-heavy: widen an under-split (tiny-file) scan so
+    # every core participates — a no-op on any real-scale table
+    return widen_small_scan(df).select(F.col(id_col), sig.alias("sig"))
 
 
 def _cap_buckets(
@@ -281,8 +285,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         F.lit(0).cast("bigint"),
         lambda a, x: a + x,
     )
+    from ..plans import widen_small_scan
+
     return (
-        df.select(F.col(id_col), F.size(tokens).alias("_ntok"), sim.alias("simhash"))
+        widen_small_scan(df)
+        .select(F.col(id_col), F.size(tokens).alias("_ntok"), sim.alias("simhash"))
         .where(F.col("_ntok") > 0)
         .drop("_ntok")
     )

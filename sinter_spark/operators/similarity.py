@@ -98,7 +98,10 @@ def rp_lsh_buckets(
 ) -> DataFrame:
     """(id, bucket): sign-pattern of n_planes random hyperplanes, built
     as one JVM-side expression (no UDF): bit i = [Σ_j v_j·p_ij > 0]."""
+    from ..plans import widen_small_scan
+
     planes = _planes(dim, n_planes, seed)
+    df = widen_small_scan(df)
     v = F.col(vec_col)
     acc = F.lit(0).cast("bigint")
     for i in range(n_planes):

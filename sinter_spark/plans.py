@@ -72,6 +72,57 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 
 
+def _parse_bytes(v: str) -> int:
+    m = re.match(r"^(\d+)([kmg]?)b?$", str(v).strip().lower())
+    if not m:
+        return 128 * 1024 * 1024
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimated input-split count of a file-backed scan, from
+    file-index stats only (no RDD conversion, no job): Σ ceil(size /
+    maxPartitionBytes). None when the plan isn't a plain file scan."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    splits = 0
+    for f in files[:256]:  # bound driver-side listing; >256 files is plenty parallel
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            return None
+        splits += max(1, -(-size // max_pb))
+    if len(files) > 256:
+        return None  # enough files; treat as wide
+    return int(splits)
+
+
+def widen_small_scan(df: DataFrame, *, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a SMALL under-split scan so a compute-heavy
+    projection (signature hashing, decode kernels) uses every core.
+
+    At scale this is a no-op: a 100 TB table has orders of magnitude
+    more splits than cores, so the split estimate exceeds the target
+    and no shuffle is added. It only fires for the few-small-files
+    case (e.g. a single-file test table), where the shuffle moves
+    kilobytes. Non-file plans (in-memory, joins) are left untouched."""
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    splits = estimated_scan_splits(df)
+    if splits is not None and splits < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def assert_row_pass_shape(df: DataFrame, *, forbidden_cols: tuple[str, ...] = ("bytes",)) -> None:
     """Raise if the plan violates row-pass hygiene: any shuffle, or a
     forbidden (wide payload) column in the scan."""

@@ -96,11 +96,20 @@ def test_simhash_rowlocal_equals_grouped(spark, edge_docs, sf_dir):
 
 
 def test_minhash_signature_plan_is_shuffle_free(spark, sf_dir):
+    """The signature COMPUTATION is a pure projection: no aggregation
+    shuffle anywhere. (A tiny single-file scan gets one RoundRobin
+    repartition from widen_small_scan — that's input widening, not a
+    computation shuffle, and disappears on any real-scale table.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
-    plan2 = dedup.simhash(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan2
+    for q in (dedup.minhash_signatures(docs), dedup.simhash(docs)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan
+        assert "HashAggregate" not in plan
+    # non-file input: zero exchanges of any kind
+    mem = spark.createDataFrame([("a", "hello world abcdef")], "doc_id string, text string")
+    for q in (dedup.minhash_signatures(mem), dedup.simhash(mem)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
 
 
 def test_mega_bucket_cap_adversarial(spark):
