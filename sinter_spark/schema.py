@@ -120,7 +120,18 @@ class Schema:
             post_validate=post_validate,
             pre_validate=pre_validate,
         )
-        return Schema(fields, cfg)
+        # schema.ex stamps creation metadata surfaced as x-sinter-* keys by
+        # JsonSchema.generate (json_schema.ex:720-729)
+        from datetime import datetime, timezone
+
+        from . import __version__ as _pkg_version
+
+        meta = {
+            "sinter_version": _pkg_version,
+            "field_count": len(fields),
+            "created_at": datetime.now(timezone.utc).isoformat(),
+        }
+        return Schema(fields, cfg, meta)
 
     @staticmethod
     def object(fields_or_schema: Any, **opts) -> tuple:

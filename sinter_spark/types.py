@@ -549,17 +549,17 @@ def _cerr(value: Any, target: str) -> tuple[bool, Any, list[Error]]:
 
 
 def to_json_schema(spec: Any) -> dict[str, Any]:
-    from .schema import Schema
-
     if isinstance(spec, str):
         base = {
             "string": {"type": "string"},
             "integer": {"type": "integer"},
             "float": {"type": "number"},
             "boolean": {"type": "boolean"},
-            "atom": {"type": "string"},
+            # types.ex:609 — atoms serialize as strings, flagged in the description
+            "atom": {"type": "string", "description": "Atom value"},
             "any": {},
-            "map": {"type": "object"},
+            # types.ex:611 — open map
+            "map": {"type": "object", "additionalProperties": True},
             "null": {"type": "null"},
             "date": {"type": "string", "format": "date"},
             "datetime": {"type": "string", "format": "date-time"},
@@ -578,28 +578,42 @@ def to_json_schema(spec: Any) -> dict[str, Any]:
     if tag == "union":
         return {"oneOf": [to_json_schema(s) for s in spec[1]]}
     if tag == "tuple":
+        # types.ex:640-647 — fixed-length array: prefixItems + items:false
         return {
             "type": "array",
+            "items": False,
             "prefixItems": [to_json_schema(s) for s in spec[1]],
             "minItems": len(spec[1]),
             "maxItems": len(spec[1]),
         }
     if tag == "map":
-        return {"type": "object", "additionalProperties": to_json_schema(spec[2])}
+        # types.ex:649-664 — only string keys are representable; :any values
+        # and non-string keys degrade to an open object
+        key_t, val_t = spec[1], spec[2]
+        if key_t == "string" and val_t != "any":
+            return {"type": "object", "additionalProperties": to_json_schema(val_t)}
+        return {"type": "object", "additionalProperties": True}
     if tag == "nullable":
-        inner = to_json_schema(spec[1])
-        return {"oneOf": [inner, {"type": "null"}]}
+        # types.ex:666-673 — anyOf, not oneOf (value may satisfy both branches)
+        return {"anyOf": [to_json_schema(spec[1]), {"type": "null"}]}
     if tag == "literal":
         return {"const": spec[1]}
     if tag == "object":
-        from .json_schema import generate
-
-        return generate(spec[1])
+        # types.ex:675-677 — bare marker; JsonSchema.generate expands nesting
+        return {"type": "object"}
     if tag == "discriminated_union":
-        from .json_schema import generate
+        # types.ex:683-706 — self-contained fragment: variants under $defs
+        # keyed by variant key, inline oneOf, discriminator w/ mapping
+        from .json_schema import _variant_object_schema, _escape_json_pointer
 
+        disc, variants = spec[1], spec[2]
+        resolved = {str(k): _variant_object_schema(v, disc) for k, v in variants.items()}
         return {
-            "oneOf": [generate(v) for v in spec[2].values()],
-            "discriminator": {"propertyName": spec[1]},
+            "$defs": dict(resolved),
+            "oneOf": list(resolved.values()),
+            "discriminator": {
+                "propertyName": str(disc),
+                "mapping": {k: f"#/$defs/{_escape_json_pointer(k)}" for k in resolved},
+            },
         }
     raise TypeSpecError(f"unknown type spec: {spec!r}")

@@ -555,8 +555,17 @@ class TestJsonSchema:
 
         js = for_provider(user_schema(), "openai")
         assert js["additionalProperties"] is False
-        assert "pattern" not in js["properties"]["email"]
+        # regex constraints survive as "pattern" (json_schema.ex:409-413);
+        # providers strip only unsupported *format* keywords (:478-504)
+        assert js["properties"]["email"]["pattern"] == r".+@.+"
         assert js["$schema"].startswith("http://json-schema.org/draft-07")
+        typed = Schema.define([("d", "date"), ("u", "uuid")])
+        js2 = for_provider(typed, "openai")
+        assert "format" not in js2["properties"]["d"]  # openai: date/time/email
+        assert js2["properties"]["u"]["format"] == "uuid"
+        js3 = for_provider(typed, "anthropic")
+        assert "format" not in js3["properties"]["u"]  # anthropic: uri/uuid
+        assert js3["properties"]["d"]["format"] == "date"
 
     def test_choices_to_enum(self):
         from sinter_spark import generate
