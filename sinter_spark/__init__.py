@@ -43,6 +43,10 @@ def __getattr__(name):
         from . import binding
 
         return getattr(binding, name)
+    if name in ("get_catalog", "LocalParquetCatalog", "IcebergCatalog", "Table", "Snapshot"):
+        from . import catalog
+
+        return getattr(catalog, name)
     raise AttributeError(f"module 'sinter_spark' has no attribute {name!r}")
 
 __all__ = [

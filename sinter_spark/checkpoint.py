@@ -2,31 +2,34 @@
 
 north_rule: "resumable from checkpoint with per-partition lineage +
 metrics". Spark batch has no cross-job operator state (SURVEY.md §4),
-so the engine keeps its own checkpoint table — an Iceberg-shaped
-abstraction (snapshot manifest + state table) with a Parquet-directory
-backend, since no Iceberg jars ship in this sandbox (SURVEY.md §7.0).
-All engine code talks to :class:`CheckpointStore` only; pointing it at
-a real Iceberg catalog table is a backend swap, not an API change.
+so the engine keeps its own checkpoint state in catalog tables through
+the Iceberg-shaped abstraction in :mod:`sinter_spark.catalog` — a
+``state`` table (one row per finished bucket: counts, stats, HLL
+sketch) plus one partitioned ``violations/<run_id>`` table per run.
+With Iceberg jars configured these land in a real Iceberg catalog;
+here they use the parquet+manifest backend. Either way the engine code
+below only talks to the catalog API.
 
 Partition identity must survive restarts, so it is *derived from the
 data*, not from ``spark_partition_id()``: bucket = pmod(xxhash64(key),
 n_buckets). Resume = anti-join of pending buckets against the state
 table (the distributed analogue of re-validating only the failed
 indices of ``validate_many``, ``validator.ex:148-181``). Violations are
-written partitioned by bucket with dynamic partition overwrite, and the
-state row is committed *after* the data — a crash between the two
-re-runs that bucket idempotently.
+committed per bucket with dynamic partition overwrite, and the state
+row lands *after* the data — a crash between the two re-runs that
+bucket idempotently.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
+
+from .catalog import get_catalog
 
 STATE_DDL = (
     "run_id string, bucket int, status string, rows bigint, "
@@ -36,42 +39,40 @@ STATE_DDL = (
 
 
 class CheckpointStore:
-    """Parquet-directory checkpoint table with a JSON manifest."""
+    """Checkpoint state over an Iceberg-shaped catalog.
 
-    def __init__(self, spark, path: str):
+    ``path`` is the warehouse directory for the local backend; when the
+    session is Iceberg-configured the catalog resolves to the real one
+    and ``path`` is unused by it.
+    """
+
+    def __init__(self, spark, path: str, catalog=None):
         self.spark = spark
         self.path = path.rstrip("/")
-        self.state_path = f"{self.path}/state"
-        self.manifest_path = f"{self.path}/manifest.json"
-        os.makedirs(self.path, exist_ok=True)
+        self.catalog = catalog or get_catalog(spark, self.path)
+        self._state = self.catalog.create_or_load("state", STATE_DDL)
 
-    # -- manifest (run lineage) ---------------------------------------------
-
-    def _read_manifest(self) -> dict:
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                return json.load(f)
-        return {"runs": {}}
-
-    def _write_manifest(self, m: dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.manifest_path)
+    # -- run lineage (state-table properties) --------------------------------
 
     def begin_run(self, run_id: str | None, *, n_buckets: int, key_col: str, meta: dict | None = None) -> str:
         run_id = run_id or uuid.uuid4().hex[:12]
-        m = self._read_manifest()
-        if run_id not in m["runs"]:
-            m["runs"][run_id] = {
-                "n_buckets": n_buckets,
-                "key_col": key_col,
-                "created_at": time.time(),
-                "meta": meta or {},
-            }
-            self._write_manifest(m)
+        prop_key = f"run.{run_id}"
+        props = self._state.properties
+        if prop_key not in props:
+            self._state.update_properties(
+                **{
+                    prop_key: json.dumps(
+                        {
+                            "n_buckets": n_buckets,
+                            "key_col": key_col,
+                            "created_at": time.time(),
+                            "meta": meta or {},
+                        }
+                    )
+                }
+            )
         else:
-            prev = m["runs"][run_id]
+            prev = json.loads(props[prop_key])
             if prev["n_buckets"] != n_buckets or prev["key_col"] != key_col:
                 raise ValueError(
                     f"run {run_id!r} was started with n_buckets={prev['n_buckets']} "
@@ -79,12 +80,13 @@ class CheckpointStore:
                 )
         return run_id
 
+    def run_info(self, run_id: str) -> dict:
+        return json.loads(self._state.properties[f"run.{run_id}"])
+
     # -- state table ----------------------------------------------------------
 
     def state(self) -> DataFrame:
-        if not os.path.exists(self.state_path):
-            return self.spark.createDataFrame([], STATE_DDL)
-        return self.spark.read.schema(STATE_DDL).parquet(self.state_path)
+        return self._state.read()
 
     def done_buckets(self, run_id: str) -> set[int]:
         rows = (
@@ -110,10 +112,18 @@ class CheckpointStore:
             )
             for b in bucket_stats
         ]
-        self.spark.createDataFrame(rows, STATE_DDL).coalesce(1).write.mode("append").parquet(self.state_path)
+        self._state.append(self.spark.createDataFrame(rows, STATE_DDL).coalesce(1))
 
     def metrics(self, run_id: str) -> DataFrame:
         return self.state().where(F.col("run_id") == run_id)
+
+    # -- violations tables ------------------------------------------------------
+
+    def violations_table(self, run_id: str, like: DataFrame | None = None):
+        name = f"violations/{run_id}"
+        if like is not None:
+            return self.catalog.create_or_load(name, like.schema, partition_by=["ckpt_bucket"])
+        return self.catalog.load_table(name)
 
 
 def bucket_col(key_col: str, n_buckets: int):
@@ -140,7 +150,6 @@ def run_checkpointed(
     key_col: str = "image_id",
     n_buckets: int = 32,
     buckets_per_job: int = 8,
-    violations_dir: str | None = None,
     fail_after: int | None = None,
 ) -> str:
     """Run ``pass_fn`` (sub-DataFrame → violation rows) over the table in
@@ -152,8 +161,8 @@ def run_checkpointed(
        ``ckpt_bucket`` is DERIVED from its ``row_key`` (the same hash the
        source bucketing uses on the string-cast key — no join back to the
        source, and no unattributable bucket is possible), persisted, then
-       written partitioned by ckpt_bucket (dynamic overwrite = idempotent)
-       and counted from the persisted result;
+       committed to the run's violations table with dynamic partition
+       overwrite (idempotent) and counted from the persisted result;
     2. metrics: one ``hll_by_bucket`` pass yielding per-bucket row counts
        AND the HLL key sketch together.
 
@@ -162,7 +171,6 @@ def run_checkpointed(
     kills the run after N chunks (test hook for crash/resume).
     """
     run_id = store.begin_run(run_id, n_buckets=n_buckets, key_col=key_col)
-    violations_dir = violations_dir or f"{store.path}/violations/{run_id}"
     done = store.done_buckets(run_id)
     pending = [b for b in range(n_buckets) if b not in done]
     bcol = bucket_col(key_col, n_buckets).alias("ckpt_bucket")
@@ -180,12 +188,7 @@ def run_checkpointed(
         )
         viol = viol.persist()
         try:
-            (
-                viol.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ckpt_bucket")
-                .parquet(violations_dir)
-            )
+            store.violations_table(run_id, like=viol).overwrite_partitions(viol)
             vcounts = {
                 r["ckpt_bucket"]: r["n"]
                 for r in viol.groupBy("ckpt_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -218,8 +221,7 @@ def run_checkpointed(
 
 
 def read_violations(store: CheckpointStore, run_id: str) -> DataFrame:
-    path = f"{store.path}/violations/{run_id}"
-    return store.spark.read.parquet(path)
+    return store.violations_table(run_id).read()
 
 
 def global_distinct(store: CheckpointStore, run_id: str) -> float:
