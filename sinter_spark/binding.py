@@ -377,6 +377,53 @@ def _map_element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequenc
     return out
 
 
+def _tuple_element_checks(spec: Any, value: Column, dt: ST.DataType, path: tuple, guard: Column):
+    """Per-position type checks for tuple struct columns with indexed
+    violation paths (types.ex:319-332: element errors at path+[i]),
+    recursing into nested tuples. Returns ``(BoundCheck, ok)`` pairs
+    where ``ok`` is False (static mismatch) or a pass Column, feeding
+    the with-chain short-circuit in :func:`_bind_field`."""
+    if not (
+        isinstance(spec, tuple)
+        and spec[0] == "tuple"
+        and isinstance(dt, ST.StructType)
+        and len(dt.fields) == len(spec[1])
+    ):
+        return []
+    out = []
+    for i, (espec, f) in enumerate(zip(spec[1], dt.fields)):
+        ecol, edt = value.getField(f.name), f.dataType
+        epath = tuple(path) + (str(i),)
+        eplit = _path_lit(epath)
+        # null elements inside a present tuple violate unless the
+        # element spec accepts null — same rule as arrays/maps
+        ne = _null_element_error(espec)
+        if ne is not None:
+            cond = guard & ecol.isNull()
+            out.append((BoundCheck(F.when(cond, _vstruct(eplit, *ne))), ~F.coalesce(cond, F.lit(False))))
+        if isinstance(espec, tuple) and espec[0] == "tuple":
+            r = _type_violation(espec, ecol, edt)
+            if r is not None:  # static not-a-struct / wrong arity
+                out.append((BoundCheck(F.when(guard, _vstruct(eplit, r[1], r[2]))), False))
+            else:
+                out.extend(_tuple_element_checks(espec, ecol, edt, epath, guard & ecol.isNotNull()))
+            continue
+        r = _type_violation(espec, ecol, edt)
+        if r is None:
+            continue
+        if r[0] == "static":
+            out.append((BoundCheck(F.when(guard, _vstruct(eplit, r[1], r[2]))), False))
+        else:
+            bad = ecol.isNotNull() & r[2]
+            out.append(
+                (
+                    BoundCheck(F.when(guard & bad, _vstruct(eplit, r[1], r[3]))),
+                    ~F.coalesce(bad, F.lit(False)),
+                )
+            )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # coercion (types.ex:417-581) — try_cast with whole-string strictness
 # ---------------------------------------------------------------------------
@@ -542,6 +589,16 @@ def _bind_field(
             checks.append(ec)
             elem_ok = F.size(ec.column) == 0
             type_ok = elem_ok if type_ok is True else (type_ok & elem_ok if type_ok is not False else False)
+        # tuple element types are positional struct facts; checks carry
+        # indexed paths and feed the same short-circuit
+        for bc, ok in _tuple_element_checks(spec, value, dt, fpath, guard):
+            checks.append(bc)
+            if type_ok is False or ok is False:
+                type_ok = False
+            elif type_ok is True:
+                type_ok = ok
+            else:
+                type_ok = type_ok & ok
 
     # constraints on (possibly coerced) value (validator_test.exs:450-464);
     # suppressed when the type stage failed (with-chain short-circuit)

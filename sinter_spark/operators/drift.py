@@ -17,13 +17,30 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
-def histogram(df: DataFrame, col, *, bins: int = 32, lo: float | None = None, hi: float | None = None, name: str | None = None) -> DataFrame:
-    """(column, bin, count) fixed-width histogram. When lo/hi omitted,
-    a first cheap min/max pass fixes the range (two scans total —
-    acceptable because only `col` is read, never wide payloads)."""
+def histogram(
+    df: DataFrame,
+    col,
+    *,
+    bins: int = 32,
+    lo: float | None = None,
+    hi: float | None = None,
+    name: str | None = None,
+    auto_range: bool = False,
+) -> DataFrame:
+    """(column, bin, count) fixed-width histogram — ONE scan when lo/hi
+    are given (the engine's own callers always pass them).
+
+    Omitting lo/hi requires ``auto_range=True``, which runs an extra
+    min/max pass first: at 100 TB that doubles the scan cost, so the
+    extra job is opt-in rather than silent."""
     c = F.col(col) if isinstance(col, str) else col
     label = name or (col if isinstance(col, str) else "expr")
     if lo is None or hi is None:
+        if not auto_range:
+            raise ValueError(
+                "histogram: lo/hi not given — pass explicit bounds (one scan) "
+                "or auto_range=True to accept a min/max pre-pass (two scans)"
+            )
         row = df.agg(F.min(c).cast("double").alias("lo"), F.max(c).cast("double").alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi

@@ -173,3 +173,59 @@ def test_coercion_grains_agree(spark, rows):
         for e in errors:
             driver.add((str(i), e.path, e.code))
     assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"
+
+
+def composite_schema():
+    return Schema.define(
+        [
+            ("pt", ("tuple", ["string", "integer"]), {"optional": True}),
+            ("lit", ("literal", "x"), {"optional": True}),
+            ("m", ("map", "string", "integer"), {"optional": True}),
+        ]
+    )
+
+
+composite_row = st.fixed_dictionaries(
+    {
+        "pt": st.one_of(
+            st.none(),
+            st.tuples(
+                st.one_of(st.none(), st.sampled_from(["a", "bb", ""])),
+                st.one_of(st.none(), st.integers(-3, 3)),
+            ),
+        ),
+        "lit": st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+        "m": st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from(["k1", "k2"]),
+                st.one_of(st.none(), st.integers(-2, 2)),
+                max_size=2,
+            ),
+        ),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(composite_row, min_size=1, max_size=15))
+def test_composite_grains_agree(spark, rows):
+    """types_test.exs tail at both grains: tuple element types + null
+    elements, literal strictness, map value types — identical
+    (row, path, code) violation sets."""
+    schema = composite_schema()
+    data = [(str(i), r["pt"], r["lit"], r["m"]) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "__id string, pt struct<a:string,b:long>, lit string, m map<string,long>"
+    )
+    res = bind(schema, df, row_key="__id")
+    table = {
+        (r["row_key"], tuple(r["path"]), r["code"]) for r in res.violations.collect()
+    }
+    driver = set()
+    for i, row in enumerate(rows):
+        clean = {k: v for k, v in row.items() if v is not None}
+        ok, _, errors = validate(schema, clean)
+        for e in errors:
+            driver.add((str(i), e.path, e.code))
+    assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"

@@ -351,3 +351,22 @@ def test_rp_lsh_cap_keeps_recall(spark, sf_dir):
         ).collect()
     }
     assert approx.issubset(exact) or not exact
+
+
+# ---------------------------------------------------------------------------
+# drift.histogram: the min/max pre-pass is opt-in, never silent
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_requires_bounds_or_explicit_auto_range(spark):
+    from sinter_spark.operators.drift import histogram
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="auto_range"):
+        histogram(df, "x", bins=4)
+    # explicit bounds: one scan, counts land in the right bins
+    h = {r["bin"]: r["count"] for r in histogram(df, "x", bins=4, lo=0.0, hi=100.0).collect()}
+    assert sum(h.values()) == 100 and h[0] == 25
+    # opted-in auto range: same totals
+    h2 = {r["bin"]: r["count"] for r in histogram(df, "x", bins=4, auto_range=True).collect()}
+    assert sum(h2.values()) == 100
