@@ -77,22 +77,29 @@ def run_at(cores: int, zpath: str, images: str) -> dict:
     )
 
 
+def median_trial(trials: list[dict]) -> dict:
+    """The trial whose wall time is the median (odd counts: exact
+    median; even: lower median — a real trial, not an interpolation)."""
+    ordered = sorted(trials, key=lambda r: r["seconds"])
+    return ordered[(len(ordered) - 1) // 2]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-small", type=int, default=4)
+    ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--images-n", type=int, default=3000000)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
     n_small, n_big = args.n_small, args.n_small * 4
 
     zpath = build_zip()
     images = ensure_images(args.images_n)
     smalls, bigs = [], []
-    for _ in range(args.trials):  # interleaved: both legs see similar noise
+    for _ in range(args.trials):  # interleaved N,4N,N,4N…: both legs see similar noise
         smalls.append(run_at(n_small, zpath, images))
         bigs.append(run_at(n_big, zpath, images))
-    small = min(smalls, key=lambda r: r["seconds"])
-    big = min(bigs, key=lambda r: r["seconds"])
+    small = median_trial(smalls)
+    big = median_trial(bigs)
     eff = (big["rows_per_sec"] / small["rows_per_sec"]) / (n_big / n_small)
     report = {
         "n_small": n_small,
@@ -116,7 +123,7 @@ broadcast referential), same input ({small['rows']:,} rows,
 at two parallelism levels (sandbox stand-in for N vs 4N executors —
 no real cluster here, see BASELINE.md).
 
-| parallelism | seconds | rows/sec | external load at start |
+| parallelism | seconds (median) | rows/sec | external load at start |
 |---|---|---|---|
 | local[{n_small}] (N) | {small['seconds']} | {small['rows_per_sec']:,} | {small['external_load_start']} |
 | local[{n_big}] (4N) | {big['seconds']} | {big['rows_per_sec']:,} | {big['external_load_start']} |
@@ -124,19 +131,19 @@ no real cluster here, see BASELINE.md).
 **Scaling efficiency = ({big['rows_per_sec']:,} / {small['rows_per_sec']:,}) / 4 =
 {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
 
-All trials (seconds, external 1-min load at start):
+All trials, interleaved N,4N,N,4N,… (seconds, external 1-min load at start):
 N = {report['small_trials']}; 4N = {report['big_trials']}.
-Best trial per leg is used (least neighbor contention).
+The MEDIAN trial per leg is reported.
 
 Methodology notes, reported honestly:
 
-1. **This host is shared.** Neighbor tenants sustain a load average of
-   ~15–20 on this 32-core box while this repo is idle (verified: a pure
-   numpy multiprocessing benchmark of the render kernel scales 8→32
-   procs at only ~2.2× under that load — 32 own + ~18 foreign threads
-   oversubscribe 32 cores). The N-vs-4N pair is chosen so both legs fit
-   beside the neighbors ({n_small} vs {n_big}); a 32-thread leg measures
-   the neighbors, not the engine.
+1. **This host is shared.** Neighbor tenants have held load averages of
+   ~15–20 on this 32-core box in busy windows (verified round 1 with a
+   pure numpy multiprocessing benchmark: 8→32 procs scaled only ~2.2×
+   under that load). Trials are interleaved N,4N,N,4N and each records
+   the 1-min load average at start so a contended window is visible in
+   the table; the reported run should come from a quiet window
+   (loads ≲ 2 across all trials).
 2. Single-box N-vs-4N shares memory bandwidth and page cache — it can
    over- or under-state what a real 4×-executor spread would show. The
    dominant stage (decode kernel) is embarrassingly parallel CPU work,
