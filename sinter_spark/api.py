@@ -46,12 +46,25 @@ def validate_value(name: str, type_spec: Any, value: Any, *, coerce: bool = Fals
     return False, value, errors
 
 
-def validate_many_typed(pairs: Sequence[tuple[Any, Any]], *, coerce: bool = False):
-    """Heterogeneous ``(type_spec, value)`` batch (sinter.ex:210-256)."""
+def validate_many_typed(pairs: Sequence[tuple], *, coerce: bool = False):
+    """Heterogeneous batch (sinter.ex:210-256). Each entry is one of
+    ``(type_spec, value)``, ``(name, type_spec, value)`` or
+    ``(name, type_spec, value, constraints_dict)``; per-field
+    constraints merge with the global options."""
     results = []
     errs: dict[int, list[Error]] = {}
-    for i, (spec, value) in enumerate(pairs):
-        ok, v, errors = validate_type(spec, value, coerce=coerce)
+    for i, pair in enumerate(pairs):
+        if len(pair) == 2:
+            spec, value = pair
+            ok, v, errors = validate_type(spec, value, coerce=coerce)
+        elif len(pair) == 3:
+            name, spec, value = pair
+            ok, v, errors = validate_value(name, spec, value, coerce=coerce)
+        elif len(pair) == 4:
+            name, spec, value, cons = pair
+            ok, v, errors = validate_value(name, spec, value, coerce=coerce, **dict(cons))
+        else:
+            raise ValueError(f"validate_many pair must have 2-4 elements, got {pair!r}")
         if ok:
             results.append(v)
         else:
@@ -61,20 +74,44 @@ def validate_many_typed(pairs: Sequence[tuple[Any, Any]], *, coerce: bool = Fals
     return True, results, {}
 
 
-def validator_for(schema: Schema, **opts) -> Callable[[Any], tuple]:
-    """Closure capturing a compiled schema for reuse (sinter.ex:279-319)."""
+def validator_for(schema_or_spec, *, coerce: bool = False, constraints: Mapping | None = None, **opts) -> Callable[[Any], tuple]:
+    """Reusable validator closure (sinter.ex:279-296). Given a Schema,
+    validates maps against it; given a type spec (the reference form,
+    ``Sinter.validator_for(:integer, gt: 0)``), validates single values
+    with the captured constraints."""
+    if isinstance(schema_or_spec, Schema):
+        def _run_schema(data: Any):
+            return validate(schema_or_spec, data, coerce=coerce, **opts)
 
-    def _run(data: Any):
+        return _run_schema
+
+    cons = dict(constraints or {})
+    cons.update(opts)
+
+    def _run_value(value: Any):
+        return validate_type(schema_or_spec, value, coerce=coerce, **cons)
+
+    return _run_value
+
+
+def batch_validator_for(schema_or_specs, **opts) -> Callable[[Any], tuple]:
+    """Reusable multi-field validator (sinter.ex:298-319). Given the
+    reference form — a list of field specs — builds the schema once and
+    validates one map per call (errors as a flat list). Given a Schema,
+    validates a LIST of maps per call (the distributed-batch extension,
+    errors keyed by index)."""
+    if isinstance(schema_or_specs, Schema):
+        def _run_many(data_list: Iterable[Any]):
+            return _validate_many_maps(schema_or_specs, data_list, **opts)
+
+        return _run_many
+
+    schema = Schema.define(schema_or_specs)
+
+    def _run_one(data: Any):
         return validate(schema, data, **opts)
 
-    return _run
-
-
-def batch_validator_for(schema: Schema, **opts) -> Callable[[Iterable[Any]], tuple]:
-    def _run(data_list: Iterable[Any]):
-        return _validate_many_maps(schema, data_list, **opts)
-
-    return _run
+    return _run_one
 
 
 # ---------------------------------------------------------------------------
@@ -103,9 +140,13 @@ def _infer_type(value: Any) -> Any:
 
 def infer_schema(examples: Sequence[Mapping[str, Any]], *, min_occurrence_ratio: float = 0.8) -> Schema:
     """Field discovery across examples: most-common-type vote; required
-    iff present in ≥ ratio of examples (sinter.ex:368-399,470-548)."""
+    iff present in ≥ ratio of examples (sinter.ex:368-399,470-548).
+    Raises on empty or non-map examples like the reference."""
+    examples = list(examples)
     if not examples:
-        return Schema.define([])
+        raise ValueError("infer_schema requires at least one example")
+    if not all(isinstance(ex, Mapping) for ex in examples):
+        raise ValueError("infer_schema examples must be maps")
     n = len(examples)
     presence: Counter[str] = Counter()
     type_votes: dict[str, Counter] = {}
