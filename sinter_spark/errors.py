@@ -88,11 +88,13 @@ class Error:
     def with_context(path: Any, code: str, message: str, context: Mapping[str, Any]) -> "Error":
         return Error.new(path, code, message, context)
 
-    def format(self) -> str:
-        """``"a.b.2: message"`` dotted-path rendering (``error.ex:108-138``)."""
-        if not self.path:
+    def format(self, *, include_path: bool = True, path_separator: str = ".") -> str:
+        """``"a.b.2: message"`` dotted-path rendering with the
+        reference's options (``error.ex:108-138``: ``include_path``,
+        ``path_separator``)."""
+        if not self.path or not include_path:
             return self.message
-        return f"{'.'.join(self.path)}: {self.message}"
+        return f"{path_separator.join(self.path)}: {self.message}"
 
     def to_map(self) -> dict[str, Any]:
         """Serializable form (``error.ex:224-237``); context omitted when nil."""
@@ -106,8 +108,10 @@ class Error:
         return out
 
 
-def format_errors(errors: Iterable[Error]) -> list[str]:
-    return [e.format() for e in errors]
+def format_errors(errors: Iterable[Error], **opts) -> str:
+    """Newline-joined rendering (``error.ex:146-158`` returns one
+    string, not a list); options pass through to :meth:`Error.format`."""
+    return "\n".join(e.format(**opts) for e in errors)
 
 
 def group_by_path(errors: Iterable[Error]) -> dict[tuple[str, ...], list[Error]]:
@@ -166,13 +170,22 @@ class ValidationError(Exception):
         super().__init__(self._build_message())
 
     def _build_message(self) -> str:
+        # exact reference wording (error.ex:365-383)
         n = len(self.errors)
         if n == 0:
-            return "validation failed"
+            return "Validation failed"
         if n == 1:
-            return f"validation failed: {self.errors[0].format()}"
+            return f"Validation failed: {self.errors[0].format()}"
         lines = "\n".join(f"  - {e.format()}" for e in self.errors)
-        return f"validation failed with {n} errors:\n{lines}"
+        return f"Validation failed with {n} errors:\n{lines}"
+
+    @property
+    def message(self) -> str:
+        return self._build_message()
+
+    def format(self) -> str:
+        """``ValidationError.format/1`` (error.ex:391-403)."""
+        return self._build_message()
 
 
 # ---------------------------------------------------------------------------

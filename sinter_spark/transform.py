@@ -41,7 +41,64 @@ class NotGiven:
 NOT_GIVEN = NotGiven()
 
 
-def transform(schema: Schema, data: dict) -> dict:
+class _Omit:
+    """Second sentinel (``NotGiven.omit()``, not_given.ex:30-46) —
+    transform-dropped exactly like NOT_GIVEN; exists so callers can
+    distinguish 'never given' from 'explicitly omitted' upstream."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "OMIT"
+
+
+OMIT = _Omit()
+
+_SENTINELS = (NOT_GIVEN, OMIT)
+
+
+def transform(schema_or_data, data: dict | None = None, *, aliases: dict | None = None, formats: dict | None = None, drop_nil: bool = False) -> dict:
+    """Two forms, matching the reference and the engine:
+
+    * ``transform(data, aliases=..., formats=..., drop_nil=...)`` —
+      the reference's schema-less pipeline (transform.ex:38-137):
+      stringify keys, drop NotGiven/omit sentinels recursively, rename
+      via ``aliases``, render datetimes per ``formats`` (``"iso8601"``),
+      optionally drop nils.
+    * ``transform(schema, data)`` — schema-driven serialization (alias
+      renames + ISO dates + nested-object recursion).
+    """
+    if not isinstance(schema_or_data, Schema):
+        if data is not None:
+            raise TypeError("transform(data, ...) takes options, not a second positional arg")
+        return _transform_plain(schema_or_data, aliases or {}, formats or {}, drop_nil)
+    return _transform_schema(schema_or_data, data)
+
+
+def _transform_plain(data: dict, aliases: dict, formats: dict, drop_nil: bool) -> dict:
+    out: dict[str, Any] = {}
+    for k, v in data.items():
+        if any(v is s for s in _SENTINELS):
+            continue
+        if drop_nil and v is None:
+            continue
+        key = str(k)
+        if k in aliases or key in aliases:
+            key = str(aliases.get(k, aliases.get(key)))
+        if (k in formats or key in formats) and isinstance(v, (datetime, date)):
+            v = v.isoformat()
+        elif isinstance(v, dict):
+            v = _transform_plain(v, aliases, formats, drop_nil)
+        out[key] = v
+    return out
+
+
+def _transform_schema(schema: Schema, data: dict) -> dict:
     """Serialize a validated payload: drop sentinels, rename via alias,
     ISO-format dates, recurse into nested objects (transform.ex:38-137)."""
     out: dict[str, Any] = {}
@@ -49,7 +106,7 @@ def transform(schema: Schema, data: dict) -> dict:
         if name not in data:
             continue
         v = data[name]
-        if v is NOT_GIVEN:
+        if any(v is s for s in _SENTINELS):
             continue  # sentinel-drop
         if isinstance(v, datetime):
             v = v.isoformat()
@@ -57,19 +114,27 @@ def transform(schema: Schema, data: dict) -> dict:
             v = v.isoformat()
         t = fd.type
         if isinstance(t, tuple) and t and t[0] == "object" and isinstance(v, dict):
-            v = transform(t[1], v)
+            v = _transform_schema(t[1], v)
         wire = fd.alias or name
         out[wire] = v
     # unknown keys pass through untouched (non-strict serialization)
     for k, v in data.items():
-        if k not in schema.fields and v is not NOT_GIVEN:
+        if k not in schema.fields and not any(v is s for s in _SENTINELS):
             out.setdefault(k, v)
     return out
 
 
-def encode(schema: Schema, data: dict, **dump_opts) -> str:
-    """transform + JSON dump (json.ex:19-38)."""
-    return _json.dumps(transform(schema, data), **dump_opts)
+def encode(schema_or_data, data: dict | None = None, *, aliases: dict | None = None, formats: dict | None = None, drop_nil: bool = False, **dump_opts) -> str:
+    """transform + JSON dump (json.ex:19-38). Accepts either
+    ``encode(schema, data)`` or the reference's schema-less
+    ``encode(data, aliases=...)``."""
+    if isinstance(schema_or_data, Schema):
+        return _json.dumps(_transform_schema(schema_or_data, data), **dump_opts)
+    if data is not None:
+        raise TypeError("encode(data, ...) takes options, not a second positional arg")
+    return _json.dumps(
+        _transform_plain(schema_or_data, aliases or {}, formats or {}, drop_nil), **dump_opts
+    )
 
 
 def decode(schema: Schema, payload: str, **validate_opts):
