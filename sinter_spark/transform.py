@@ -62,7 +62,7 @@ OMIT = _Omit()
 _SENTINELS = (NOT_GIVEN, OMIT)
 
 
-def transform(schema_or_data, data: dict | None = None, *, aliases: dict | None = None, formats: dict | None = None, drop_nil: bool = False) -> dict:
+def transform(schema_or_data, data: dict | None = None, *, aliases: dict | None = None, formats: dict | None = None, drop_nil: bool = False, use_aliases: bool = True) -> dict:
     """Two forms, matching the reference and the engine:
 
     * ``transform(data, aliases=..., formats=..., drop_nil=...)`` —
@@ -77,7 +77,7 @@ def transform(schema_or_data, data: dict | None = None, *, aliases: dict | None 
         if data is not None:
             raise TypeError("transform(data, ...) takes options, not a second positional arg")
         return _transform_plain(schema_or_data, aliases or {}, formats or {}, drop_nil)
-    return _transform_schema(schema_or_data, data)
+    return _transform_schema(schema_or_data, data, use_aliases)
 
 
 def _transform_plain(data: dict, aliases: dict, formats: dict, drop_nil: bool) -> dict:
@@ -98,9 +98,11 @@ def _transform_plain(data: dict, aliases: dict, formats: dict, drop_nil: bool) -
     return out
 
 
-def _transform_schema(schema: Schema, data: dict) -> dict:
-    """Serialize a validated payload: drop sentinels, rename via alias,
-    ISO-format dates, recurse into nested objects (transform.ex:38-137)."""
+def _transform_schema(schema: Schema, data: dict, use_aliases: bool = True) -> dict:
+    """Serialize a validated payload: drop sentinels, rename via alias
+    (``use_aliases=False`` keeps canonical names, field_alias_test.exs:
+    75-113), ISO-format dates, recurse into nested objects
+    (transform.ex:38-137)."""
     out: dict[str, Any] = {}
     for name, fd in schema.fields.items():
         if name not in data:
@@ -114,8 +116,8 @@ def _transform_schema(schema: Schema, data: dict) -> dict:
             v = v.isoformat()
         t = fd.type
         if isinstance(t, tuple) and t and t[0] == "object" and isinstance(v, dict):
-            v = _transform_schema(t[1], v)
-        wire = fd.alias or name
+            v = _transform_schema(t[1], v, use_aliases)
+        wire = (fd.alias or name) if use_aliases else name
         out[wire] = v
     # unknown keys pass through untouched (non-strict serialization)
     for k, v in data.items():

@@ -383,3 +383,53 @@ class TestJSON:
         schema = Schema.define([("count", "integer")])
         ok, v, _ = decode(schema, '{"count":"42"}', coerce=True)
         assert ok and v["count"] == 42
+
+
+class TestAliasOutputAndValidators:
+    # field_alias_test.exs:75-166 + field_validator_test.exs:110-192 tails
+    def test_use_aliases_true(self):
+        s = Schema.define([("account_name", "string", {"alias": "accountName"})])
+        out = transform(s, {"account_name": "Test"}, use_aliases=True)
+        assert out == {"accountName": "Test"}
+
+    def test_use_aliases_false(self):
+        s = Schema.define([("account_name", "string", {"alias": "accountName"})])
+        out = transform(s, {"account_name": "Test"}, use_aliases=False)
+        assert out == {"account_name": "Test"}
+
+    def test_field_aliases_map(self):
+        # field_alias_test.exs:154-166
+        s = Schema.define(
+            [("account_name", "string", {"alias": "accountName"}), ("plain", "string")]
+        )
+        assert s.field_aliases() == {"account_name": "accountName"}
+
+    def test_validator_only_runs_if_present(self):
+        # field_validator_test.exs:110-122
+        calls = []
+
+        def spy(v):
+            calls.append(v)
+            return None
+
+        s = Schema.define([("opt", "string", {"optional": True, "validate": [spy]})])
+        ok, _, _ = validate(s, {})
+        assert ok and calls == []
+
+    def test_validator_runs_on_nil_with_nullable_type(self):
+        # field_validator_test.exs:124-142
+        calls = []
+
+        def spy(v):
+            calls.append(v)
+            return None
+
+        s = Schema.define([("n", ("nullable", "string"), {"validate": [spy]})])
+        ok, _, _ = validate(s, {"n": None})
+        assert ok and calls == [None]
+
+    def test_validator_bare_ok_keeps_value(self):
+        # field_validator_test.exs:177-192 — plain success keeps original
+        s = Schema.define([("a", "string", {"validate": [lambda v: True]})])
+        ok, v, _ = validate(s, {"a": "orig"})
+        assert ok and v == {"a": "orig"}
