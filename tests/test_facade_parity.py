@@ -399,3 +399,65 @@ class TestMergeSchemas:
     def test_raises_on_empty(self):
         with pytest.raises(ValueError):
             merge_schemas([])
+
+
+class TestPerformanceBatchContracts:
+    # test/performance/batch_validation_test.exs — same thresholds
+    def test_validate_many_10k_under_a_second(self):
+        import random
+        import time
+
+        from sinter_spark import validate_many
+
+        rng = random.Random(7)
+        schema = Schema.define(
+            [
+                ("id", "integer"),
+                ("name", "string", {"min_length": 1}),
+                ("score", "float", {"gteq": 0.0, "lteq": 100.0}),
+            ]
+        )
+        data = [
+            {"id": i, "name": f"item_{i}", "score": rng.random() * 100}
+            for i in range(1, 10_001)
+        ]
+        t0 = time.perf_counter()
+        ok, results, _ = validate_many(schema, data)
+        elapsed = time.perf_counter() - t0
+        assert ok and len(results) == 10_000
+        assert elapsed < 1.0  # reference: under 1s / <100µs per item
+        assert elapsed / 10_000 < 100e-6
+
+    def test_stream_validation_constant_memory(self):
+        import tracemalloc
+
+        from sinter_spark import validate_stream
+
+        schema = Schema.define([("val", "integer")])
+        stream = ({"val": i} for i in range(50_000))
+        tracemalloc.start()
+        count = sum(1 for ok, _, _ in validate_stream(schema, stream) if ok)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert count == 50_000
+        assert peak < 50 * 1024 * 1024  # reference: <50MB growth
+
+    def test_infer_schema_1000_examples_under_500ms(self):
+        import random
+        import time
+
+        rng = random.Random(3)
+        examples = [
+            {
+                "id": f"item_{i}",
+                "score": rng.random() * 100,
+                "active": i % 2 == 0,
+                "tags": [f"tag_{j}" for j in range(1, 4)],
+            }
+            for i in range(1, 1_001)
+        ]
+        t0 = time.perf_counter()
+        schema = infer_schema(examples)
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 0.5
+        assert set(schema.fields) == {"id", "score", "active", "tags"}
