@@ -1,16 +1,24 @@
 """Scaling-efficiency driver: spark-submit the image-suite job at N and
 4N local cores on IDENTICAL input, compute efficiency, write BENCH.md.
 
-The sandbox host is SHARED: neighbor tenants keep a load average of
-~15-20 on this 32-core box with this repo idle (verified with a pure
-multiprocessing numpy benchmark: 8→32 procs scales only ~2.2× while
-~18 cores of external load runs — 32 own + 18 foreign threads
-oversubscribe 32 cores). So the credible N-vs-4N pair is one where
-BOTH legs fit beside the neighbors (default 4 vs 16); a 32-thread leg
-measures the neighbors, not the engine. Every trial records the 1-min
-load average at start/end and legs are interleaved, best-of-N.
+The sandbox host is a SHARED VM. Three contention channels, each
+handled explicitly:
 
-Usage: python scripts/run_scaling.py [--n-small 4] [--images-n 3000000] [--trials 2]
+1. same-VM neighbor load — wait_for_quiet gates each leg; the load
+   average is sampled every 5 s DURING the leg and a foreign spike
+   re-runs it;
+2. hypervisor steal — invisible to the load average; measured from
+   /proc/stat across each leg, re-running when the hypervisor stole
+   > --steal-cap cores on average;
+3. the VM's own scaling ceiling — with zero steal and zero load, a
+   pure-CPU burn scales 8→32 at only ~0.72-0.87 (4→16: ~0.99): the
+   hypervisor simply does not grant 4× the cycles at 32 vCPUs. The
+   ceiling is measured in-session and reported next to the engine's
+   number.
+
+Trials are interleaved N,4N,N,4N,…; the MEDIAN trial per leg is used.
+
+Usage: python scripts/run_scaling.py [--n-small 8] [--images-n 3000000] [--trials 3]
 """
 
 from __future__ import annotations
@@ -69,15 +77,30 @@ def wait_for_quiet(threshold: float = 3.0, timeout: float = 900.0) -> float:
     return load
 
 
+def _read_steal() -> float:
+    """Cumulative hypervisor steal seconds from /proc/stat (field 8).
+    This box is a VM: neighbor VMs steal CPU at the hypervisor level,
+    INVISIBLE to the load average (observed: a 32-core leg taking 211 s
+    vs 59 s on identical input with 1-min load < 4 throughout — while
+    /proc/stat had accumulated ~68 min of steal). Steal during the leg
+    is the direct measurement of that contention."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+
+
 def run_at(cores: int, zpath: str, images: str) -> dict:
     """One spark-submit leg; samples the load average every 5 s DURING
-    the run. max(sample − own cores) lower-bounds foreign load — a
-    neighbor spike mid-leg (invisible to a start-only reading) shows up
-    in ``external_load_peak`` and marks the leg dirty."""
+    the run (max(sample − own cores) lower-bounds foreign same-VM load)
+    and measures hypervisor steal across the leg (``steal_cores`` =
+    stolen CPU-seconds / wall — the average number of cores the
+    hypervisor took away mid-leg)."""
     import threading
     import time
 
     load0 = os.getloadavg()[0]
+    steal0 = _read_steal()
+    t_start = time.time()
     samples: list[float] = []
     stop = threading.Event()
 
@@ -102,16 +125,54 @@ def run_at(cores: int, zpath: str, images: str) -> dict:
         stop.set()
         th.join(timeout=1.0)
     peak_foreign = round(max((s - cores for s in samples), default=0.0), 1)
+    wall = max(time.time() - t_start, 1e-9)
+    steal_cores = round((_read_steal() - steal0) / wall, 2)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             r = json.loads(line)
             r["external_load_start"] = round(load0, 1)
             r["external_load_peak"] = max(peak_foreign, 0.0)
+            r["steal_cores"] = steal_cores
             return r
     raise RuntimeError(
         f"no JSON from spark-submit at local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
+
+
+def _burn(n: int) -> int:
+    x = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & ((1 << 64) - 1)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & ((1 << 64) - 1)
+    return x
+
+
+def hardware_ceiling(n_small: int, n_big: int, *, n_ops: int = 40_000_000) -> dict:
+    """Pure-integer-CPU N-vs-4N throughput ratio — the VM's *hardware*
+    scaling ceiling for this core pair, measured at run time.
+
+    This box is a VM on an oversubscribed hypervisor: with ZERO steal
+    and zero same-VM load, 32 workers deliver only ~0.72-0.87× of 4×
+    the 8-worker throughput (measured 2026-08-16), while 4→16 measures
+    ~0.99. No engine can scale past what the silicon delivers; the
+    engine's efficiency is interpretable relative to this ceiling."""
+    import multiprocessing as mp
+    import time
+
+    thr = {}
+    for procs in (n_small, n_big):
+        with mp.Pool(procs) as p:
+            p.map(_burn, [1000] * procs)  # warm the pool
+            t0 = time.time()
+            p.map(_burn, [n_ops] * procs)
+            wall = time.time() - t0
+        thr[procs] = procs * n_ops / wall
+    return {
+        "ceiling": round(thr[n_big] / thr[n_small] / (n_big / n_small), 3),
+        "small_mops": round(thr[n_small] / 1e6, 1),
+        "big_mops": round(thr[n_big] / 1e6, 1),
+    }
 
 
 def median_trial(trials: list[dict]) -> dict:
@@ -128,6 +189,7 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--quiet-load", type=float, default=3.0, help="wait for 1-min load below this before each leg")
     ap.add_argument("--dirty-load", type=float, default=4.0, help="re-run a leg whose mid-run foreign load peak exceeds this")
+    ap.add_argument("--steal-cap", type=float, default=1.0, help="re-run a leg whose average hypervisor steal exceeds this many cores")
     args = ap.parse_args()
     n_small, n_big = args.n_small, args.n_small * 4
 
@@ -135,18 +197,26 @@ def main() -> None:
     images = ensure_images(args.images_n)
     dirty_cap = args.dirty_load
 
-    def clean_leg(cores: int, retries: int = 1) -> dict:
-        """Run a leg in a quiet window; re-run once if neighbors spiked
-        mid-leg (external_load_peak > cap). The last attempt is kept
-        either way, flagged by its recorded peak."""
+    def clean_leg(cores: int, retries: int = 2) -> dict:
+        """Run a leg in a quiet window; re-run if same-VM neighbors
+        spiked mid-leg (external_load_peak > cap) OR the hypervisor
+        stole more than --steal-cap cores on average. The last attempt
+        is kept either way, flagged by its recorded peak/steal."""
         for attempt in range(retries + 1):
             wait_for_quiet(args.quiet_load)
             r = run_at(cores, zpath, images)
-            if r["external_load_peak"] <= dirty_cap:
+            if r["external_load_peak"] <= dirty_cap and r["steal_cores"] <= args.steal_cap:
                 return r
-            print(f"# leg local[{cores}] dirty (foreign peak {r['external_load_peak']}), retry {attempt + 1}", flush=True)
+            print(
+                f"# leg local[{cores}] dirty (foreign peak {r['external_load_peak']}, "
+                f"steal {r['steal_cores']} cores), retry {attempt + 1}",
+                flush=True,
+            )
         return r
 
+    wait_for_quiet(args.quiet_load)
+    hw = hardware_ceiling(n_small, n_big)
+    print(f"# hardware ceiling (pure-CPU {n_small}->{n_big}): {hw['ceiling']}", flush=True)
     smalls, bigs = [], []
     for _ in range(args.trials):  # interleaved N,4N,N,4N…: both legs see similar noise
         smalls.append(clean_leg(n_small))
@@ -159,9 +229,11 @@ def main() -> None:
         "n_big": n_big,
         "small": small,
         "big": big,
-        "small_trials": [(r["seconds"], r["external_load_start"], r["external_load_peak"]) for r in smalls],
-        "big_trials": [(r["seconds"], r["external_load_start"], r["external_load_peak"]) for r in bigs],
+        "small_trials": [(r["seconds"], r["external_load_peak"], r["steal_cores"]) for r in smalls],
+        "big_trials": [(r["seconds"], r["external_load_peak"], r["steal_cores"]) for r in bigs],
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": hw,
+        "efficiency_vs_ceiling": round(eff / hw["ceiling"], 3) if hw["ceiling"] else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -184,12 +256,24 @@ no real cluster here, see BASELINE.md).
 **Scaling efficiency = ({big['rows_per_sec']:,} / {small['rows_per_sec']:,}) / 4 =
 {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
 
-All trials, interleaved N,4N,N,4N,… (seconds, 1-min load at start,
-peak foreign load DURING the leg = max(load − own cores) sampled /5s):
+**Hardware ceiling for this pair, measured in the same session**: a
+pure-integer-CPU multiprocessing burn (no memory traffic, no Spark, no
+steal) scales local[{n_small}]→local[{n_big}] at only
+**{hw['ceiling']}** on this VM ({hw['small_mops']} → {hw['big_mops']}
+Mops/s) — the hypervisor does not deliver {n_big // n_small}× the
+cycles. Engine efficiency relative to what the silicon offers:
+**{report['efficiency_vs_ceiling']}**.
+
+All trials, interleaved N,4N,N,4N,… — each tuple is (seconds,
+peak same-VM foreign load during the leg, avg hypervisor steal cores
+during the leg from /proc/stat):
 N = {report['small_trials']}; 4N = {report['big_trials']}.
 The MEDIAN trial per leg is reported. Each leg waits for a quiet window
-(load < {args.quiet_load}) before starting and re-runs once if the
-foreign peak exceeded {args.dirty_load} mid-leg.
+(load < {args.quiet_load}), and re-runs when the same-VM foreign peak
+exceeded {args.dirty_load} or the hypervisor stole > {args.steal_cap}
+cores on average mid-leg (steal is invisible to the load average; it is
+the contention channel that produced 211s-vs-59s spreads on identical
+input in earlier attempts).
 
 Methodology notes, reported honestly:
 
