@@ -107,6 +107,11 @@ class Schema:
         mutually exclusive; default implies optional; min/max_items migrate
         into the array type spec, ``schema.ex:665-686``).
         """
+        # hook options must be callables (schema.ex raises ArgumentError
+        # on post_validate: "not_a_function", schema_test.exs:206-215)
+        for hook_name, hook in (("post_validate", post_validate), ("pre_validate", pre_validate)):
+            if hook is not None and not callable(hook):
+                raise ValueError(f"{hook_name} must be callable, got {hook!r}")
         fields: dict[str, FieldDef] = {}
         for spec in field_specs:
             fd = _normalize_field_spec(spec)
@@ -225,6 +230,14 @@ def _normalize_field_spec(spec: tuple) -> FieldDef:
         constraints["format"] = re.compile(constraints["format"])
     if "choices" in constraints and not isinstance(constraints["choices"], (list, tuple)):
         raise ValueError(f"field {name!r}: choices must be a list")
+    # constraint VALUE validation (reference: NimbleOptions rejects e.g.
+    # min_length: "10" at define time, schema_test.exs:198-204)
+    for key in ("min_length", "max_length", "min_items", "max_items"):
+        if key in constraints and (isinstance(constraints[key], bool) or not isinstance(constraints[key], int)):
+            raise ValueError(f"field {name!r}: {key} must be an integer, got {constraints[key]!r}")
+    for key in ("gt", "gteq", "lt", "lteq"):
+        if key in constraints and (isinstance(constraints[key], bool) or not isinstance(constraints[key], (int, float))):
+            raise ValueError(f"field {name!r}: {key} must be a number, got {constraints[key]!r}")
 
     # min_items/max_items migrate into array type spec (schema.ex:665-686)
     if isinstance(type_spec, tuple) and type_spec and type_spec[0] == "array":

@@ -461,3 +461,30 @@ class TestPerformanceBatchContracts:
         elapsed = time.perf_counter() - t0
         assert elapsed < 0.5
         assert set(schema.fields) == {"id", "score", "active", "tags"}
+
+
+class TestSchemaDefineValidation:
+    # schema_test.exs:182-215 — define-time rejection
+    def test_raises_on_invalid_type(self):
+        from sinter_spark.types import TypeSpecError
+
+        with pytest.raises((ValueError, TypeSpecError)):
+            Schema.define([("invalid_field", "invalid_type")])
+
+    def test_raises_on_unknown_constraint(self):
+        with pytest.raises(ValueError, match="unknown options"):
+            Schema.define([("field", "string", {"invalid_constraint": "bad"})])
+
+    def test_raises_on_invalid_constraint_value(self):
+        with pytest.raises(ValueError, match="min_length"):
+            Schema.define([("field", "string", {"min_length": "10"})])
+        with pytest.raises(ValueError, match="gt"):
+            Schema.define([("field", "integer", {"gt": "zero"})])
+        with pytest.raises(ValueError, match="max_items"):
+            Schema.define([("field", ("array", "string"), {"max_items": 2.5})])
+
+    def test_raises_on_non_callable_hooks(self):
+        with pytest.raises(ValueError, match="post_validate"):
+            Schema.define([("field", "string")], post_validate="not_a_function")
+        with pytest.raises(ValueError, match="pre_validate"):
+            Schema.define([("field", "string")], pre_validate=42)
