@@ -136,6 +136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_lsh_docs(spark, sf):
         return dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), k=4, n_hashes=64, bands=16)
 
+    def q_near_dup_components_docs(spark, sf):
+        # exact=True: the SQL-expressible oracle path (Jaccard pair
+        # graph); the scale path (LSH pair graph) is exercised by the
+        # rows-only near_dup_components default in tests.
+        return dedup.near_dup_components(_t(spark, sf, "documents"), exact=True, threshold=0.5)
+
+    def q_dedup_canonical_docs(spark, sf):
+        return dedup.dedup_canonical(_t(spark, sf, "documents"), exact=True, threshold=0.5).select("doc_id")
+
     def q_simhash_docs(spark, sf):
         return dedup.simhash_arrow(_t(spark, sf, "documents"))
 
@@ -234,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dup_docs": q_exact_dup_docs,
         "jaccard_pairs_docs": q_jaccard_pairs_docs,
+        "near_dup_components_docs": q_near_dup_components_docs,
+        "dedup_canonical_docs": q_dedup_canonical_docs,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
         "text_quality_docs": q_text_quality_docs,
@@ -361,6 +372,56 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
              WHERE CAST(shared AS DOUBLE)/(sa.n_sh + sb.n_sh - shared) >= 0.5
+        """,
+        "near_dup_components_docs": """
+            WITH RECURSIVE idx AS (
+              SELECT doc_id, text,
+                     CAST(unnest(generate_series(1, GREATEST(length(text) - 3, 0))) AS INT) AS i
+                FROM documents),
+            sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS shingle FROM idx),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(shared AS DOUBLE)/(sa.n_sh + sb.n_sh - shared) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        """,
+        "dedup_canonical_docs": """
+            WITH RECURSIVE idx AS (
+              SELECT doc_id, text,
+                     CAST(unnest(generate_series(1, GREATEST(length(text) - 3, 0))) AS INT) AS i
+                FROM documents),
+            sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS shingle FROM idx),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b FROM shared
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(shared AS DOUBLE)/(sa.n_sh + sb.n_sh - shared) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+            cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id FROM documents d
+             WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
         """,
         "text_quality_docs": r"""
             WITH feat AS (

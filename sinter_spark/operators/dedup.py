@@ -361,6 +361,127 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph; component =
+    the minimum node id reachable from the node.
+
+    The last stage of a dedup pipeline: similar-pair generation (exact
+    Jaccard, MinHash-LSH, SimHash) emits PAIRS, but keep/drop decisions
+    need CLUSTERS — this turns pairs into clusters with a canonical
+    (minimum-id) representative per cluster.
+
+    Algorithm: min-label propagation — iteratively set
+    ``label(n) = min(label(n), min over neighbors of their label)``
+    until a fixpoint. Each iteration is one shuffle-join of the label
+    table with the symmetric edge list plus one min-aggregate, both on
+    the same key; convergence takes O(graph diameter) iterations.
+    Near-dup graphs are dense quasi-cliques with tiny diameter (a
+    cluster of copies is one hop wide), so this converges in 2-3
+    rounds where general graphs would want large-star/small-star
+    (O(log n) rounds) — documented tradeoff, not an oversight.
+
+    Scale notes: the edge list is persisted once and reused every
+    round; labels are persisted per round and the previous round is
+    unpersisted; every ``checkpoint_every`` rounds the label table is
+    localCheckpoint-ed so the iterative plan's lineage stays bounded
+    (at cluster scale, point ``spark.sparkContext.setCheckpointDir``
+    at durable storage and swap to ``checkpoint``). Nodes with no
+    pairs never enter the graph — singletons are the caller's rows
+    minus these components.
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    threshold: float = 0.5,
+    exact: bool = False,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) clusters of near-duplicate docs.
+
+    ``exact=True`` builds the pair graph from exact n-gram Jaccard
+    (the oracle path — SQL-expressible, quadratic per shared shingle);
+    the default builds it from banded MinHash-LSH candidates (the
+    scale path)."""
+    if exact:
+        pairs = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    else:
+        pairs = minhash_lsh_candidates(df, id_col, text_col, k=k)
+    return connected_components(pairs, max_iter=max_iter)
+
+
+def dedup_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    threshold: float = 0.5,
+    exact: bool = False,
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: drops every doc that belongs to a
+    near-dup cluster and is not its canonical (minimum-id) member;
+    docs in no cluster pass through. The anti-join is on the (small)
+    non-canonical node set — at scale that set is the duplicate mass,
+    so broadcast only when it is known to fit."""
+    cc = near_dup_components(df, id_col, text_col, k=k, threshold=threshold, exact=exact)
+    losers = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bigint): 64-bit SimHash over word tokens.
 
