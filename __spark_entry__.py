@@ -203,6 +203,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), dim=64, threshold=0.9, n_planes=16, bands=4, round_to=5
         )
 
+    def q_ivf_topk_cosine(spark, sf):
+        # IVF ANN: kmeans training is not SQL-expressible → rows-only
+        # check here; recall-vs-brute-force + partition-pruning gates
+        # live in tests/test_ivf.py
+        from sinter_spark.operators import ivf
+
+        emb = _t(spark, sf, "embeddings")
+        cents = ivf.train_centroids(emb, n_clusters=8, seed=7)
+        q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+        return ivf.ivf_topk(emb, cents, q, k=10, n_probe=4)
+
     def q_image_decode_features(spark, sf):
         # image ops run on the deterministic synthetic table (no image
         # table in the oracle views → rows-only check)
@@ -254,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_salted": q_dup_salted,
         "psi_events_value": q_psi_events_value,
         "rp_lsh_near_pairs": q_rp_lsh_near_pairs,
+        "ivf_topk_cosine": q_ivf_topk_cosine,
         "image_decode_features": q_image_decode_features,
         "image_suite_violations": q_image_suite_violations,
         "infer_events_schema": q_infer_events_schema,
