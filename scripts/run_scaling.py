@@ -205,21 +205,31 @@ def best_trial(trials: list[dict]) -> dict:
 def run_pair(n_small: int, args, zpath: str, images: str) -> dict:
     """Full interleaved-trials measurement of one (N, 4N) core pair."""
     n_big = n_small * 4
-    dirty_cap = args.dirty_load
+    total = os.cpu_count() or 32
+
+    def leg_cap(cores: int) -> float:
+        """Per-leg foreign-load tolerance: a small leg on a big box
+        does not need the BOX quiet, it needs ``cores`` free cores —
+        a local[4] leg on 32 cores runs at full speed under a foreign
+        load of 20, while a local[32] leg is disturbed by any foreign
+        load at all. Cap = idle cores beyond the leg's own, with a 2×
+        headroom margin, floored at --dirty-load."""
+        return max(args.dirty_load, total - 2.0 * cores)
 
     def clean_leg(cores: int, retries: int = 2) -> dict:
-        """Run a leg in a quiet window; re-run if same-VM neighbors
-        spiked mid-leg (external_load_peak > cap) OR the hypervisor
-        stole more than --steal-cap cores on average. The last attempt
-        is kept either way, flagged by its recorded peak/steal."""
+        """Run a leg when its own cap is satisfied; re-run if same-VM
+        neighbors spiked past the cap mid-leg OR the hypervisor stole
+        more than --steal-cap cores on average. The last attempt is
+        kept either way, flagged by its recorded peak/steal."""
+        cap = leg_cap(cores)
         for attempt in range(retries + 1):
-            wait_for_quiet(args.quiet_load, args.quiet_timeout)
+            wait_for_quiet(cap, args.quiet_timeout)
             r = run_at(cores, zpath, images)
-            if r["external_load_peak"] <= dirty_cap and r["steal_cores"] <= args.steal_cap:
+            if r["external_load_peak"] <= cap and r["steal_cores"] <= args.steal_cap:
                 return r
             print(
-                f"# leg local[{cores}] dirty (foreign peak {r['external_load_peak']}, "
-                f"steal {r['steal_cores']} cores), retry {attempt + 1}",
+                f"# leg local[{cores}] dirty (foreign peak {r['external_load_peak']} "
+                f"vs cap {cap}, steal {r['steal_cores']} cores), retry {attempt + 1}",
                 flush=True,
             )
         return r
