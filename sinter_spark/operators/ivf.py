@@ -109,9 +109,17 @@ def assign_clusters(
 
     def _kernel(batches):
         for batch in batches:
-            vecs = np.array(batch.column(vec_idx).to_pylist(), dtype=np.float64)
-            if len(vecs) == 0:
+            raw = batch.column(vec_idx).to_pylist()
+            if not raw:
                 continue
+            dim = cents.shape[1]
+            if any(v is None or len(v) != dim for v in raw):
+                raise ValueError(
+                    f"ivf.assign_clusters: null or wrong-dimension {vec_col} "
+                    f"(expected array<float> of dim {dim}) — validate the "
+                    "embedding column before indexing"
+                )
+            vecs = np.array(raw, dtype=np.float64)
             sims = _normalize(vecs) @ cents.T
             cid = np.argmax(sims, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
