@@ -139,3 +139,50 @@ def test_arrow_column_impls_agree_on_candidate_scale(spark, sf_dir):
     c = dedup.minhash_lsh_candidates(docs, cache=False, impl="column").count()
     assert a > 0 and c > 0
     assert 0.5 < a / c < 2.0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential: kernels ≡ pure-python references on random text
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.one_of(
+        st.text(min_size=0, max_size=60),  # arbitrary unicode incl. controls
+        st.text(alphabet="ab \t\n", min_size=0, max_size=40),  # collision-heavy
+        st.none(),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_minhash_arrow_differential(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures_arrow(df).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert i not in got
+        else:
+            assert got[i] == _ref_minhash(t), repr(t)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_simhash_arrow_differential(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash_arrow(df).collect()}
+    for i, t in enumerate(texts):
+        ref = None if t is None else _ref_simhash(t)
+        if ref is None:
+            assert i not in got, repr(t)
+        else:
+            assert got[i] == ref, repr(t)
