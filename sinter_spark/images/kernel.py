@@ -6,7 +6,10 @@ payload invariant from BASELINE.json: decode ``bytes`` per ``fmt``
 types.ex:334-381``), verify decoded pixels against the deterministic
 reference render (exact allclose for lossless fmts, PSNR ≥ 40 dB for
 lossy — the distributed generalization of a custom field validator,
-``validator.ex:362-408``), and check exact caption equality.
+``validator.ex:362-408``), check exact caption equality, and verify
+the stored ``phash`` against the pixel fingerprint (cross-field
+metadata integrity — the fingerprint column must describe the payload
+it travels with).
 
 Scale notes: decode is the expensive check, so it runs exactly once per
 row and *all* byte-dependent checks share the decoded array; the pass
@@ -23,12 +26,14 @@ from pyspark.sql import DataFrame
 
 from ..errors import VIOLATION_DDL
 from . import codecs
-from .synth import expected_caption, render_reference
+from .synth import expected_caption, phash64, render_reference
 
 PSNR_MIN_DB = 40.0
 
 
-def _check_row(image_id, data, w, h, fmt, caption, check_caption: bool) -> list[dict]:
+def _check_row(
+    image_id, data, w, h, fmt, caption, phash, check_caption: bool, check_phash: bool
+) -> list[dict]:
     out: list[dict] = []
     rk = image_id
 
@@ -78,22 +83,50 @@ def _check_row(image_id, data, w, h, fmt, caption, check_caption: bool) -> list[
                     "caption differs from reference",
                     {"expected_len": str(len(exp)), "got_len": str(len(caption))},
                 )
+        # phash integrity: the stored fingerprint must match the one the
+        # payload's true pixels produce. The reference render is already
+        # in hand (computed for the pixel check), so this costs one hash
+        # — and it works for lossy fmts too, where hashing the DECODED
+        # pixels would always mismatch (phash is taken pre-encoding).
+        if check_phash and phash is not None:
+            expected_ph = phash64(ref)
+            if int(phash) != expected_ph:
+                v(
+                    ["phash"],
+                    "phash_mismatch",
+                    "stored phash differs from pixel fingerprint",
+                    {"fmt": str(fmt)},
+                )
     return out
 
 
-def decode_violations(df: DataFrame, *, check_caption: bool = True, min_parallelism: int | None = None) -> DataFrame:
-    """Violations from the decode/PSNR/caption invariant, one decode per
-    row, Arrow-batched. Input needs columns
-    (image_id, bytes, w, h, fmt, caption).
+def decode_violations(
+    df: DataFrame,
+    *,
+    check_caption: bool = True,
+    check_phash: bool = True,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Violations from the decode/PSNR/caption/phash invariant, one
+    decode per row, Arrow-batched. Input needs columns
+    (image_id, bytes, w, h, fmt, caption, phash).
 
     The decode is CPU-bound Python, so under-parallel inputs (few/large
     files) starve cores: if the scan yields fewer partitions than half
     the cluster's parallelism, repartition first (one extra shuffle of
     the payload — cheaper than idle cores; real deployments instead
     size spark.sql.files.maxPartitionBytes)."""
-    cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+    from pyspark.sql import functions as F
+
     from ..plans import widen_small_scan
 
+    # phash travels as a STRING: Arrow→pandas turns a nullable int64
+    # column into float64 (None→NaN), silently corrupting values above
+    # 2^53 — a decimal string round-trips all 64 bits exactly.
+    cols = [
+        "image_id", "bytes", "w", "h", "fmt", "caption",
+        F.col("phash").cast("string").alias("phash"),
+    ]
     df = widen_small_scan(df, min_parallelism=min_parallelism)
 
     def run(batches):
@@ -101,7 +134,10 @@ def decode_violations(df: DataFrame, *, check_caption: bool = True, min_parallel
             rows: list[dict] = []
             for t in pdf.itertuples(index=False):
                 rows.extend(
-                    _check_row(t.image_id, t.bytes, t.w, t.h, t.fmt, t.caption, check_caption)
+                    _check_row(
+                        t.image_id, t.bytes, t.w, t.h, t.fmt, t.caption, t.phash,
+                        check_caption, check_phash,
+                    )
                 )
             if rows:
                 yield pd.DataFrame(rows)

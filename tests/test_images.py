@@ -114,6 +114,32 @@ class TestDecodeKernel:
         bad = [r for r in v.collect() if r["code"] in ("psnr", "caption_mismatch")]
         assert bad == []
 
+    def test_phash_integrity(self, spark):
+        # rows ingested as tuples: a pandas detour would turn the int64
+        # phash into float64 and corrupt values above 2^53
+        import numpy as np
+
+        def draws(i):
+            rng = np.random.Generator(
+                np.random.PCG64(int.from_bytes(synth._digest("row", "11", str(i))[:8], "big"))
+            )
+            return {k: rng.random() for k in synth.RATES}
+
+        clean = [
+            r for i in range(30)
+            for r in [synth.make_row(11, i, 32)]
+            if r["image_id"] and r["fmt"] in codecs.ENCODERS and r["caption"]
+            and not any(draws(i)[k] < synth.RATES[k] for k in synth.RATES)
+        ]
+        assert len(clean) >= 10
+        tampered_id = clean[3]["image_id"]
+        clean[3]["phash"] ^= 1 << 62          # flip one high bit
+        clean[5]["phash"] = None              # null → check skipped
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        df = spark.createDataFrame([tuple(r[c] for c in cols) for r in clean], synth.IMAGE_DDL)
+        got = {r["row_key"] for r in decode_violations(df).where("code = 'phash_mismatch'").collect()}
+        assert got == {tampered_id}
+
 
 class TestFullSuite:
     def test_full_suite_catches_every_violation_kind(self, spark, img_df):
@@ -131,6 +157,8 @@ class TestFullSuite:
         assert by_code.get("referential", 0) > 0   # fmt='gif' orphans
         # caption equality: empty captions mismatch the reference
         assert by_code.get("caption_mismatch", 0) > 0
+        # phash integrity: tampered fingerprints (v3 injection)
+        assert by_code.get("phash_mismatch", 0) > 0
 
     def test_verdicts_cover_all_rows(self, spark, img_df):
         res = validate_images_full(img_df, synth.fmt_dim(spark), decode=False)
