@@ -242,6 +242,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = validate_images_full(df, fmt_dim(spark))
         return res.violations.groupBy("code").agg(F.count(F.lit(1)).alias("n")).orderBy("code")
 
+    def q_image_near_dup(spark, sf):
+        # image near-duplicates: decode-once DCT pHash + pair-of-blocks
+        # hamming LSH (guaranteed recall at hamming<=6). Deterministic
+        # fixture: synthetic originals + lossy re-encoded copies; hash
+        # seeds make it non-SQL-expressible -> rows-only check, with
+        # brute-force-equality gates in tests/test_image_neardup.py
+        from sinter_spark.images import codecs as ic, synth as isyn
+        from sinter_spark.operators.multimodal import image_near_dup_pairs
+
+        ids = [isyn.uuid_for(3, i) for i in range(120)]
+        rows = []
+        for x in ids:
+            px = isyn.render_reference(x, 36, 28)
+            rows.append((x, ic.encode_raw(px), 36, 28, "raw", "c", 0))
+        for x in ids[:40]:
+            px = isyn.render_reference(x, 36, 28)
+            rows.append((f"{x}-copy", ic.ENCODERS["qjpg"](px), 36, 28, "qjpg", "c", 0))
+        df = spark.createDataFrame(rows, isyn.IMAGE_DDL).repartition(8)
+        return image_near_dup_pairs(df)
+
     return {
         "validate_events": q_validate_events,
         "stats_lineitem": q_stats_lineitem,
@@ -268,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_cosine": q_ivf_topk_cosine,
         "image_decode_features": q_image_decode_features,
         "image_suite_violations": q_image_suite_violations,
+        "image_near_dup": q_image_near_dup,
         "infer_events_schema": q_infer_events_schema,
     }
 

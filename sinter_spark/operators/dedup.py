@@ -652,6 +652,106 @@ def simhash_blocks(
     )
 
 
+def hamming_block_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    n_blocks: int = 4,
+    block_bits: int = 16,
+    pair_blocks: bool = False,
+    max_hamming: int = 3,
+    max_bucket: int | None = 1000,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming) over any 64-bit fingerprint
+    column, by hamming-block LSH: only fingerprints agreeing on ≥1
+    bucket key meet in the join; the exact ``bit_count(xor)`` then
+    filters to ``hamming ≤ max_hamming``.
+
+    Bucket keys (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
+    for Web Crawling" — public method):
+
+    * ``pair_blocks=False`` — one key per block (n_blocks keys/row).
+      Recall is GUARANTEED for ``max_hamming ≤ n_blocks − 1``
+      (pigeonhole: fewer differing bits than blocks → one block clean).
+    * ``pair_blocks=True`` — one key per UNORDERED PAIR of blocks
+      (C(n_blocks,2) keys/row, each 2·block_bits wide). Guaranteed for
+      ``max_hamming ≤ n_blocks − 2`` (that many errors leave ≥2 clean
+      blocks → their pair is clean). Use when the hamming budget needs
+      more blocks than single-block keys could afford: halving
+      block_bits to double n_blocks would shrink the key space to
+      2^block_bits (mega-buckets at scale); pairing restores a
+      2·block_bits key space while keeping the recall bound.
+
+    Scale notes: the bucket table is a narrow projection of the
+    signature (computed once — persisted when ``cache``); buckets above
+    ``max_bucket`` are dropped (:func:`_cap_buckets` — degenerate
+    fingerprint clusters are exact duplicates that exact dedup owns).
+    At extreme corpus sizes raise block_bits / switch to a wider
+    fingerprint rather than lowering the cap: the key-space must stay
+    ≫ corpus/max_bucket."""
+    if pair_blocks:
+        if max_hamming > n_blocks - 2:
+            raise ValueError(
+                f"pair_blocks recall guarantee needs max_hamming ≤ n_blocks-2 "
+                f"(got {max_hamming} > {n_blocks - 2})"
+            )
+        keys = [
+            (i * n_blocks + j, (i, j))
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    else:
+        if max_hamming > n_blocks - 1:
+            raise ValueError(
+                f"block recall guarantee needs max_hamming ≤ n_blocks-1 "
+                f"(got {max_hamming} > {n_blocks - 1})"
+            )
+        keys = [(i, (i,)) for i in range(n_blocks)]
+
+    mask = F.lit((1 << block_bits) - 1)
+    sig = F.col(sig_col)
+
+    def block(i: int) -> Column:
+        return F.shiftright(sig, i * block_bits).bitwiseAND(mask)
+
+    def val(parts: tuple) -> Column:
+        v = block(parts[0])
+        for p in parts[1:]:
+            v = F.shiftleft(v, block_bits) + block(p)
+        return v
+
+    bt = sig_df.select(
+        F.col(id_col),
+        sig.alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(kid).alias("blk"), val(parts).alias("val"))
+                    for kid, parts in keys
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
+    if cache:
+        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -665,21 +765,16 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, using
     4×16-bit block buckets (two fingerprints within hamming 3 agree on
     ≥1 of 4 blocks) — bucket join instead of all-pairs, persisted once,
-    mega-buckets dropped (see :func:`_cap_buckets`).
+    mega-buckets dropped. Thin wrapper over :func:`hamming_block_pairs`.
     ``impl``: see :func:`simhash_blocks`."""
-    bt = _cap_buckets(simhash_blocks(df, id_col, text_col, impl=impl), ["blk", "val"], max_bucket)
-    if cache:
-        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
-    a = bt.alias("a")
-    b = bt.alias("b")
-    cand = (
-        a.join(b, ["blk", "val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .distinct()
+    make = simhash_arrow if impl == "arrow" else simhash
+    return hamming_block_pairs(
+        make(df, id_col, text_col),
+        id_col,
+        "simhash",
+        n_blocks=4,
+        block_bits=16,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        cache=cache,
     )
-    return cand.where(F.col("hamming") <= max_hamming)
