@@ -65,6 +65,7 @@ class CheckpointStore:
                         {
                             "n_buckets": n_buckets,
                             "key_col": key_col,
+                            "bucket_fn": BUCKET_FN,
                             "created_at": time.time(),
                             "meta": meta or {},
                         }
@@ -77,6 +78,17 @@ class CheckpointStore:
                 raise ValueError(
                     f"run {run_id!r} was started with n_buckets={prev['n_buckets']} "
                     f"key_col={prev['key_col']!r}; cannot resume with different lineage"
+                )
+            # bucket ids denote ROW SETS: resuming under a different
+            # hash basis would skip 'done' buckets that now name
+            # different rows (older runs predate the stamp → hash basis
+            # unknowable → refuse, same as a mismatch)
+            if prev.get("bucket_fn") != BUCKET_FN:
+                raise ValueError(
+                    f"run {run_id!r} was bucketed with "
+                    f"{prev.get('bucket_fn', '<unstamped pre-v2 run>')!r}; this engine "
+                    f"buckets with {BUCKET_FN!r} — done-bucket ids are not comparable, "
+                    f"start a new run"
                 )
         return run_id
 
@@ -126,12 +138,21 @@ class CheckpointStore:
         return self.catalog.load_table(name)
 
 
+#: identifies the bucket mapping (hash fn + key representation). Bump
+#: whenever bucket_col/violation_bucket change semantics: the stamp is
+#: stored in run lineage and begin_run refuses to resume across
+#: different stamps (done-bucket ids would name different row sets).
+BUCKET_FN = "xxhash64(cast(key as string)) % n, v2"
+
+
 def bucket_col(key_col: str, n_buckets: int):
     """Stable data-derived partition id (restart-proof lineage key).
 
     Hashes the STRING form of the key so that a violation row's bucket
     is derivable from its ``row_key`` (which is the key cast to string)
     without joining back to the source — see :func:`violation_bucket`.
+    The mapping's identity is stamped into run lineage as
+    :data:`BUCKET_FN`.
     """
     return violation_bucket(F.col(key_col).cast("string"), n_buckets)
 

@@ -362,13 +362,20 @@ def validate_schema(schema: Schema | dict, *, draft: str | None = None, **gen_op
     default meta-schema). Accepts either a generated document or a
     sinter Schema (generated first). Uses the ``jsonschema`` package
     when present; degrades to a structural self-check otherwise."""
-    doc = generate(schema, **gen_opts) if isinstance(schema, Schema) else schema
+    if isinstance(schema, Schema):
+        # generate under the requested draft so the document's own
+        # $schema matches what it is validated against
+        doc = generate(schema, **({"draft": draft} if draft is not None else {}), **gen_opts)
+    else:
+        doc = schema
     try:
         import jsonschema  # type: ignore
 
         if draft is not None:
-            uri = _DRAFT_URIS[_normalize_draft(draft)]
-            doc = {**doc, "$schema": doc.get("$schema", uri)}
+            # explicit draft OVERRIDES any $schema already present —
+            # "draft overrides the default meta-schema" means validate
+            # under that draft, not under whatever the doc carries
+            doc = {**doc, "$schema": _DRAFT_URIS[_normalize_draft(draft)]}
         jsonschema.validators.validator_for(doc).check_schema(doc)
         # validator_for silently falls back on unknown $schema URIs and
         # check_schema tolerates unknown "type" values under some metas;

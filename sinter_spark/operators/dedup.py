@@ -255,6 +255,26 @@ def minhash_signatures_arrow(
     return widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
 
 
+def release_cache(pairs: DataFrame) -> None:
+    """Unpersist the bucket table a candidate-pair DataFrame holds.
+
+    ``minhash_lsh_candidates`` / ``hamming_block_pairs`` /
+    ``rp_lsh_near_pairs`` persist their bucket projection so the
+    signature subtree is computed once across the self-join; the handle
+    rides on the returned DataFrame (``_sinter_persisted``). Call this
+    after materializing the pairs (or pass ``cache=False``) in
+    long-lived sessions — otherwise each call leaves one cached table
+    behind (contrast connected_components, which manages its own)."""
+    cached = getattr(pairs, "_sinter_persisted", None)
+    if cached is not None:
+        cached.unpersist()
+
+
+def _attach_cache(pairs: DataFrame, cached: DataFrame) -> DataFrame:
+    pairs._sinter_persisted = cached  # see release_cache
+    return pairs
+
+
 def _cap_buckets(
     buckets: DataFrame, keys: list[str], max_bucket: int | None
 ) -> DataFrame:
@@ -353,11 +373,46 @@ def minhash_lsh_candidates(
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+    return _attach_cache(pairs, buckets) if cache else pairs
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for CANDIDATE pairs only: (id_a, id_b,
+    jaccard) filtered to ``jaccard ≥ threshold``.
+
+    The LSH verification step: joins each candidate pair to the two
+    docs' row-local shingle arrays and computes |A∩B| / |A∪B| with
+    array expressions — cost linear in the candidate count, never
+    all-pairs. Same similarity definition as :func:`jaccard_pairs`
+    (distinct char k-grams; shared/(n_a+n_b−shared) ≡ |∩|/|∪|)."""
+    sh = df.select(F.col(id_col), _shingle_array(text_col, k).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -452,12 +507,19 @@ def near_dup_components(
 
     ``exact=True`` builds the pair graph from exact n-gram Jaccard
     (the oracle path — SQL-expressible, quadratic per shared shingle);
-    the default builds it from banded MinHash-LSH candidates (the
-    scale path)."""
+    the default builds it from banded MinHash-LSH candidates VERIFIED
+    by exact Jaccard (:func:`verify_jaccard_pairs` — candidates only,
+    never all-pairs), so ``threshold`` means the same thing on both
+    paths. Recall on the LSH path is still governed by the banding
+    curve (~J ≳ 0.5 at 64×16); thresholds far below 0.5 need more
+    bands or the exact path."""
     if exact:
         pairs = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
     else:
-        pairs = minhash_lsh_candidates(df, id_col, text_col, k=k)
+        cand = minhash_lsh_candidates(df, id_col, text_col, k=k)
+        pairs = verify_jaccard_pairs(
+            df, cand, id_col, text_col, k=k, threshold=threshold
+        ).select("id_a", "id_b")
     return connected_components(pairs, max_iter=max_iter)
 
 
@@ -630,26 +692,64 @@ def simhash_arrow(
 def simhash_blocks(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, impl: str = "arrow"
 ) -> DataFrame:
-    """(id, simhash, blk, val): 4×16-bit block bucket assignments.
+    """(id, simhash, blk, val): 4×16-bit block bucket assignments —
+    the SimHash instantiation of :func:`_block_bucket_table` (kept as a
+    public audit view; the pair join uses :func:`hamming_block_pairs`).
 
     ``impl``: "arrow" (default — vectorized numpy kernel) or "column"
     (pure built-in expressions)."""
     make = simhash_arrow if impl == "arrow" else simhash
-    s = make(df, id_col, text_col)
-    blocks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("blk"),
-                    F.shiftright(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
-                )
-                for bi in range(4)
-            ]
-        )
-    ).alias("bb")
-    return s.select(id_col, "simhash", blocks).select(
-        id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
-    )
+    return _block_bucket_table(
+        make(df, id_col, text_col), id_col, "simhash",
+        n_blocks=4, block_bits=16, pair_blocks=False,
+    ).withColumnRenamed("_sig", "simhash").select(id_col, "simhash", "blk", "val")
+
+
+def _block_bucket_table(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    n_blocks: int,
+    block_bits: int,
+    pair_blocks: bool,
+) -> DataFrame:
+    """(id, _sig, blk, val): the hamming-LSH bucket projection shared by
+    :func:`hamming_block_pairs` and :func:`simhash_blocks` — one key per
+    block, or per unordered pair of blocks (``pair_blocks``)."""
+    if pair_blocks:
+        keys = [
+            (i * n_blocks + j, (i, j))
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    else:
+        keys = [(i, (i,)) for i in range(n_blocks)]
+
+    mask = F.lit((1 << block_bits) - 1)
+    sig = F.col(sig_col)
+
+    def block(i: int) -> Column:
+        return F.shiftright(sig, i * block_bits).bitwiseAND(mask)
+
+    def val(parts: tuple) -> Column:
+        v = block(parts[0])
+        for p in parts[1:]:
+            v = F.shiftleft(v, block_bits) + block(p)
+        return v
+
+    return sig_df.select(
+        F.col(id_col),
+        sig.alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(kid).alias("blk"), val(parts).alias("val"))
+                    for kid, parts in keys
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
 
 
 def hamming_block_pairs(
@@ -691,55 +791,26 @@ def hamming_block_pairs(
     At extreme corpus sizes raise block_bits / switch to a wider
     fingerprint rather than lowering the cap: the key-space must stay
     ≫ corpus/max_bucket."""
-    if pair_blocks:
-        if max_hamming > n_blocks - 2:
-            raise ValueError(
-                f"pair_blocks recall guarantee needs max_hamming ≤ n_blocks-2 "
-                f"(got {max_hamming} > {n_blocks - 2})"
-            )
-        keys = [
-            (i * n_blocks + j, (i, j))
-            for i in range(n_blocks)
-            for j in range(i + 1, n_blocks)
-        ]
-    else:
-        if max_hamming > n_blocks - 1:
-            raise ValueError(
-                f"block recall guarantee needs max_hamming ≤ n_blocks-1 "
-                f"(got {max_hamming} > {n_blocks - 1})"
-            )
-        keys = [(i, (i,)) for i in range(n_blocks)]
-
-    mask = F.lit((1 << block_bits) - 1)
-    sig = F.col(sig_col)
-
-    def block(i: int) -> Column:
-        return F.shiftright(sig, i * block_bits).bitwiseAND(mask)
-
-    def val(parts: tuple) -> Column:
-        v = block(parts[0])
-        for p in parts[1:]:
-            v = F.shiftleft(v, block_bits) + block(p)
-        return v
-
-    bt = sig_df.select(
-        F.col(id_col),
-        sig.alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(kid).alias("blk"), val(parts).alias("val"))
-                    for kid, parts in keys
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "_sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    if pair_blocks and max_hamming > n_blocks - 2:
+        raise ValueError(
+            f"pair_blocks recall guarantee needs max_hamming ≤ n_blocks-2 "
+            f"(got {max_hamming} > {n_blocks - 2})"
+        )
+    if not pair_blocks and max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"block recall guarantee needs max_hamming ≤ n_blocks-1 "
+            f"(got {max_hamming} > {n_blocks - 1})"
+        )
+    bt = _block_bucket_table(
+        sig_df, id_col, sig_col,
+        n_blocks=n_blocks, block_bits=block_bits, pair_blocks=pair_blocks,
+    )
     bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
     if cache:
         bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
     a = bt.alias("a")
     b = bt.alias("b")
-    return (
+    pairs = (
         a.join(b, ["blk", "val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -750,6 +821,7 @@ def hamming_block_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return _attach_cache(pairs, bt) if cache else pairs
 
 
 def simhash_near_pairs(

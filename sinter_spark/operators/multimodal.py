@@ -91,9 +91,12 @@ def decode_image_features(
                         rec["err"] = str(e)
                 out.append(rec)
             pdf_out = pd.DataFrame(out)
-            # nullable Int64, NOT object/float64: a plain DataFrame
-            # column with Nones goes float64 and corrupts values > 2^53
-            pdf_out["phash64"] = pdf_out["phash64"].astype("Int64")
+            # Build the hash column as nullable Int64 FROM THE RAW
+            # PYTHON INTS: pd.DataFrame coerces a mixed None/int column
+            # to float64 at construction (before any astype could fix
+            # it), silently corrupting the low bits of values > 2^53 —
+            # and any batch containing one failed/stub decode is mixed.
+            pdf_out["phash64"] = pd.array([r["phash64"] for r in out], dtype="Int64")
             yield pdf_out
 
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(run, IMAGE_FEATURES_DDL)

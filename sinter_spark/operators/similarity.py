@@ -173,9 +173,14 @@ def rp_lsh_near_pairs(
     sim = cosine(F.col("va"), F.col("vb"))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+    if cache:
+        from .dedup import _attach_cache
+
+        out = _attach_cache(out, bt)  # release via dedup.release_cache
+    return out

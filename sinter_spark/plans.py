@@ -90,20 +90,22 @@ def estimated_scan_splits(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    if len(files) > 256:
+        # enough files; treat as wide — and decide BEFORE issuing any
+        # per-file getFileStatus RPC (each is ~10-50ms on object stores)
+        return None
     spark = df.sparkSession
     max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     splits = 0
-    for f in files[:256]:  # bound driver-side listing; >256 files is plenty parallel
+    for f in files:
         try:
             p = jvm.org.apache.hadoop.fs.Path(f)
             size = p.getFileSystem(hconf).getFileStatus(p).getLen()
         except Exception:
             return None
         splits += max(1, -(-size // max_pb))
-    if len(files) > 256:
-        return None  # enough files; treat as wide
     return int(splits)
 
 
@@ -115,10 +117,20 @@ def widen_small_scan(df: DataFrame, *, min_parallelism: int | None = None) -> Da
     more splits than cores, so the split estimate exceeds the target
     and no shuffle is added. It only fires for the few-small-files
     case (e.g. a single-file test table), where the shuffle moves
-    kilobytes. Non-file plans (in-memory, joins) are left untouched."""
+    kilobytes.
+
+    Non-file plans (in-memory relations, join/agg outputs) have no
+    file-index stats; for those the partition count comes from the
+    plan's RDD handle — a planning-only conversion (no job), acceptable
+    off the file path where there is no cheaper source of truth."""
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     splits = estimated_scan_splits(df)
-    if splits is not None and splits < max(target // 2, 2):
+    if splits is None:
+        try:
+            splits = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    if splits < max(target // 2, 2):
         return df.repartition(target)
     return df
 

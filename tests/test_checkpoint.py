@@ -65,6 +65,25 @@ def test_lineage_mismatch_rejected(spark, img_df, tmp_path):
         run_checkpointed(img_df, _pass_fn, store, run_id="r4", n_buckets=8)
 
 
+def test_bucket_fn_mismatch_rejected(spark, img_df, tmp_path):
+    """A run bucketed under a different hash basis (older engine, or a
+    pre-stamp run) must refuse to resume: its done-bucket ids name
+    different row sets under the current mapping."""
+    import json
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_checkpointed(img_df, _pass_fn, store, run_id="r5", n_buckets=4, buckets_per_job=4)
+    info = json.loads(store._state.properties["run.r5"])
+    info["bucket_fn"] = "xxhash64(bigint key) % n, v1"  # simulate old engine
+    store._state.update_properties(**{"run.r5": json.dumps(info)})
+    with pytest.raises(ValueError, match="not comparable"):
+        run_checkpointed(img_df, _pass_fn, store, run_id="r5", n_buckets=4)
+    info.pop("bucket_fn")  # pre-stamp run: basis unknowable -> refuse too
+    store._state.update_properties(**{"run.r5": json.dumps(info)})
+    with pytest.raises(ValueError, match="unstamped"):
+        run_checkpointed(img_df, _pass_fn, store, run_id="r5", n_buckets=4)
+
+
 def test_hll_sketch_lineage_and_treewise_merge(spark, img_df, tmp_path):
     from sinter_spark.checkpoint import global_distinct
     from sinter_spark.operators import sketch

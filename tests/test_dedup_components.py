@@ -51,13 +51,41 @@ def test_dedup_canonical_keeps_one_per_cluster(spark):
     assert kept == [1, 4]
 
 
-def test_near_dup_components_lsh_path_superset(spark, sf_dir):
-    """The scale path (LSH pair graph) must cluster at least everything
-    the exact path clusters: LSH candidates ⊇ exact J≥0.5 pairs at
-    (64,16) banding, and adding edges can only merge components."""
+def test_near_dup_components_lsh_path_matches_exact(spark, sf_dir):
+    """With candidate verification, the scale path equals the exact
+    path whenever banding recall is full (it is on this table):
+    verified candidates ⊆ exact J≥0.5 pairs by construction, and the
+    (64,16) banding catches every exact pair here."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact_nodes = {
         r["node"] for r in dedup.near_dup_components(docs, exact=True).collect()
     }
     lsh_nodes = {r["node"] for r in dedup.near_dup_components(docs).collect()}
-    assert exact_nodes <= lsh_nodes
+    assert lsh_nodes == exact_nodes
+
+
+def test_lsh_threshold_is_honored(spark):
+    """regression: threshold used to be silently dropped on the LSH
+    path — raw banding candidates (J ≳ 0.5) became cluster edges even
+    when the caller asked for 0.9, over-merging and DELETING docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # J = 1.0 with 1
+            (3, base + " lambda mu nu xi omicron pi"),  # moderate J vs 1
+            (4, "unrelated content entirely different"),
+        ],
+        "doc_id bigint, text string",
+    )
+    strict = {
+        frozenset((r["node"], r["component"]))
+        for r in dedup.near_dup_components(df, threshold=0.95).collect()
+        if r["node"] != r["component"]
+    }
+    loose_kept = sorted(
+        r["doc_id"] for r in dedup.dedup_canonical(df, threshold=0.5).collect()
+    )
+    assert strict == {frozenset((1, 2))}   # doc 3 not merged at 0.95
+    assert loose_kept == [1, 4] or loose_kept == [1, 3, 4]
+    spark.catalog.clearCache()

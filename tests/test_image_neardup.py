@@ -96,6 +96,18 @@ class TestHammingBlockPairs:
         assert got == self._brute(sigs, 6)
         spark.catalog.clearCache()
 
+    def test_release_cache_unpersists_bucket_table(self, spark):
+        sigs = self._plant(9, 30, 3, 5)
+        pairs = dedup.hamming_block_pairs(
+            self._mk(spark, sigs), "id", "sig", n_blocks=4, max_hamming=3
+        )
+        pairs.count()  # materialize -> bucket table cached
+        cached = pairs._sinter_persisted
+        assert cached.storageLevel.useMemory
+        dedup.release_cache(pairs)
+        assert not cached.storageLevel.useMemory
+        dedup.release_cache(spark.range(1))  # no handle: no-op, no error
+
     def test_budget_beyond_guarantee_rejected(self, spark):
         df = self._mk(spark, [("a", 1)])
         with pytest.raises(ValueError):
@@ -105,6 +117,26 @@ class TestHammingBlockPairs:
                 df, "id", "sig", n_blocks=8, block_bits=8,
                 pair_blocks=True, max_hamming=7,
             )
+
+
+class TestFeaturePhashExactness:
+    def test_phash64_exact_in_mixed_batch(self, spark):
+        # regression: a batch mixing failed decodes (phash64=None) with
+        # successes must NOT round the int64 hashes through float64
+        from sinter_spark.operators.multimodal import decode_image_features
+
+        px = synth.render_reference("mixed-batch", 40, 30)
+        expected = dct_phash64(px)
+        rows = [
+            ("good", codecs.encode_raw(px), 40, 30, "raw", "c", 0),
+            ("stub", b"\x00\x01", 2, 2, "gif", "c", 0),   # unknown fmt -> None hash
+            ("corrupt", b"\x00" * 3, 1, 1, "png", "c", 0),  # decode error -> None hash
+        ]
+        df = spark.createDataFrame(rows, synth.IMAGE_DDL).coalesce(1)
+        feats = {r["row_key"]: r for r in decode_image_features(df).collect()}
+        assert feats["good"]["phash64"] == expected  # bit-exact
+        assert feats["stub"]["phash64"] is None
+        assert feats["corrupt"]["phash64"] is None
 
 
 class TestImageNearDup:

@@ -403,6 +403,19 @@ class TestValidateSchema:
         assert not ok
         assert "could not build" in msg
 
+    def test_draft_override_reaches_generation_and_meta(self):
+        # regression: draft was accepted but never forwarded — a Schema
+        # validated "under draft7" was generated and checked as 2020-12
+        from sinter_spark.schema import Schema
+
+        s = Schema.define([("name", "string")])
+        ok, _ = validate_schema(s, draft="draft7")
+        assert ok
+        # the draft must also override a document's own $schema
+        doc = {"$schema": "https://json-schema.org/draft/2020-12/schema", "type": "object"}
+        ok, _ = validate_schema(doc, draft="draft7")
+        assert ok
+
 
 class TestComplexScenarios:
     def test_deeply_nested(self):
