@@ -64,6 +64,29 @@ def test_near_dup_components_lsh_path_matches_exact(spark, sf_dir):
     assert lsh_nodes == exact_nodes
 
 
+def test_verify_jaccard_equals_exact_oracle(spark, sf_dir):
+    """verify_jaccard_pairs over ALL-PAIRS candidates must equal the
+    shingle-join oracle jaccard_pairs exactly — same similarity
+    definition, same rounding."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80).cache()
+    ids = docs.select("doc_id")
+    allpairs = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.verify_jaccard_pairs(docs, allpairs, threshold=0.2).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want and len(want) > 0
+    docs.unpersist()
+
+
 def test_lsh_threshold_is_honored(spark):
     """regression: threshold used to be silently dropped on the LSH
     path — raw banding candidates (J ≳ 0.5) became cluster edges even
