@@ -101,8 +101,12 @@ class Table:
         return f"data/{n:05d}"
 
     def _write_data(self, df: DataFrame, rel_dir: str, partition_by: list[str]) -> list[str]:
-        """Write files under ``rel_dir``; return partition keys produced
-        (dir names like ``bucket=3``, or ``""`` for unpartitioned)."""
+        """Write files under ``rel_dir``; return the FULL partition keys
+        produced — one per leaf partition directory ("bucket=3", or
+        "a=1/b=2" for multi-column partitioning, "" when unpartitioned).
+        Keys must be leaf-grained: the manifest replaces at key
+        granularity, and a coarser (first-level) key would make dynamic
+        overwrite silently drop sibling sub-partitions."""
         abs_dir = f"{self.path}/{rel_dir}"
         w = df.write.mode("overwrite")
         if partition_by:
@@ -110,9 +114,16 @@ class Table:
         w.parquet(abs_dir)
         if not partition_by:
             return [""]
-        return sorted(
-            d for d in os.listdir(abs_dir) if "=" in d and os.path.isdir(f"{abs_dir}/{d}")
-        )
+        keys = [""]
+        for _level in partition_by:
+            nxt = []
+            for k in keys:
+                d = f"{abs_dir}/{k}" if k else abs_dir
+                for e in os.listdir(d):
+                    if "=" in e and os.path.isdir(f"{d}/{e}"):
+                        nxt.append(f"{k}/{e}" if k else e)
+            keys = nxt
+        return sorted(keys)
 
     def _commit(self, meta: dict, operation: str, manifest: dict, summary: dict) -> Snapshot:
         parent = meta.get("current_snapshot_id")
@@ -130,13 +141,23 @@ class Table:
         self._commit_meta(meta)
         return Snapshot(**snap)
 
+    def _manifest_of(self, meta: dict) -> dict[str, list[str]]:
+        """Current manifest derived from the IN-HAND meta — re-reading
+        metadata.json mid-commit would both waste I/O and open a window
+        where a concurrent commit's snapshot list is clobbered by this
+        writer's stale copy."""
+        sid = meta.get("current_snapshot_id")
+        if sid is None:
+            return {}
+        cur = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        return {k: list(v) for k, v in cur["manifest"].items()}
+
     def append(self, df: DataFrame) -> Snapshot:
         """Add files; existing data stays live (Iceberg append)."""
         meta = self._read_meta()
         rel = self._next_data_dir(meta)
         written = self._write_data(df, rel, meta["partition_by"])
-        cur = self.current_snapshot()
-        manifest = {k: list(v) for k, v in (cur.manifest if cur else {}).items()}
+        manifest = self._manifest_of(meta)
         for pkey in written:
             manifest.setdefault(pkey, []).append(rel)
         return self._commit(meta, "append", manifest, {"added_data_dirs": 1, "partitions_touched": len(written)})
@@ -148,8 +169,7 @@ class Table:
         meta = self._read_meta()
         rel = self._next_data_dir(meta)
         written = self._write_data(df, rel, meta["partition_by"])
-        cur = self.current_snapshot()
-        manifest = {k: list(v) for k, v in (cur.manifest if cur else {}).items()}
+        manifest = self._manifest_of(meta)
         for pkey in written:
             manifest[pkey] = [rel]
         return self._commit(meta, "overwrite", manifest, {"partitions_replaced": len(written)})
@@ -329,7 +349,11 @@ class _IcebergTable:
         df.writeTo(self.qualified).overwritePartitions()
 
     def snapshots(self) -> list[Snapshot]:
-        rows = self.spark.sql(f"SELECT * FROM {self.qualified}.snapshots").collect()
+        # the snapshots metadata table has no guaranteed row order —
+        # commit order must be imposed explicitly
+        rows = self.spark.sql(
+            f"SELECT * FROM {self.qualified}.snapshots ORDER BY committed_at"
+        ).collect()
         return [
             Snapshot(
                 snapshot_id=r["snapshot_id"],

@@ -61,14 +61,25 @@ def train_centroids(
     construction; the full table never leaves the cluster."""
     total = df.count()
     frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    sample = np.array(
+    rows = (
         df.select(vec_col)
         .sample(fraction=frac, seed=seed)
         .limit(sample_size)
         .rdd.map(lambda r: r[0])
-        .collect(),
-        dtype=np.float64,
+        .collect()
     )
+    # same clear error the assignment kernel raises for the same rows —
+    # a null/ragged vector in the sample would otherwise surface as an
+    # opaque numpy shape error here but a labeled one at assign time
+    n_null = sum(1 for v in rows if v is None)
+    dims = {len(v) for v in rows if v is not None}
+    if n_null or len(dims) > 1:
+        raise ValueError(
+            f"ivf.train_centroids: null or wrong-dimension {vec_col} in training "
+            f"sample (nulls: {n_null}; dims seen: {sorted(dims)}) — clean the "
+            f"embedding column first (validate_table with an array schema)"
+        )
+    sample = np.array(rows, dtype=np.float64)
     if len(sample) < n_clusters:
         raise ValueError(f"ivf: sample ({len(sample)}) smaller than n_clusters ({n_clusters})")
     x = _normalize(sample)

@@ -27,9 +27,25 @@ def read_csv_validated(
     """CSV is stringly-typed: read every column as string and let the
     engine's coercion do the whole-string-strict parsing (types.ex:
     428-433) — parse failures become per-row :coercion violations
-    instead of a scan-time crash or silent inferSchema guesses."""
-    ddl = ", ".join(f"{name} string" for name in schema.fields)
-    df = spark.read.schema(ddl).option("header", str(header).lower()).csv(path)
+    instead of a scan-time crash or silent inferSchema guesses.
+
+    With ``header=True`` columns bind BY NAME: Spark's user-schema CSV
+    path is positional (``enforceSchema`` ignores the header row), so a
+    file whose column order differs from the schema's field order would
+    otherwise be silently misassigned — plausible strings would then
+    validate cleanly as the wrong fields. The file's own header names
+    the all-string columns; ``bind`` resolves fields and aliases
+    against them. Headerless CSVs are positional by definition and
+    take the schema's field order."""
+    if header:
+        df = (
+            spark.read.option("header", "true")
+            .option("inferSchema", "false")  # every column stays string
+            .csv(path)
+        )
+    else:
+        ddl = ", ".join(f"{name} string" for name in schema.fields)
+        df = spark.read.schema(ddl).option("header", "false").csv(path)
     return bind(schema, df, coerce=coerce, **bind_opts)
 
 

@@ -57,6 +57,14 @@ def dedup_stream(
     if keys is None:
         stream = with_fingerprint(stream, text_col)
         keys = ["fp"]
+        # md5(null) = null and dropDuplicates* treats null keys as
+        # EQUAL — without the split, every null-text row in a watermark
+        # window would collapse to one. Null-text rows are not
+        # duplicates of anything: pass them through (no state held).
+        wm = stream.withWatermark(event_time_col, delay)
+        return wm.where(F.col("fp").isNotNull()).dropDuplicatesWithinWatermark(
+            keys
+        ).unionByName(wm.where(F.col("fp").isNull()))
     return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
@@ -73,4 +81,8 @@ def dedup_stream_exact(
     if keys is None:
         stream = with_fingerprint(stream, text_col)
         keys = ["fp"]
+        # same null-key hazard as dedup_stream: null-text rows pass
+        return stream.where(F.col("fp").isNotNull()).dropDuplicates(
+            keys
+        ).unionByName(stream.where(F.col("fp").isNull()))
     return stream.dropDuplicates(keys)

@@ -11,8 +11,9 @@ Shape (all state watermark-bounded):
 * ``drift_scores`` — a ``foreachBatch`` stage: each micro-batch's
   completed windows (append mode emits a window exactly once, when the
   watermark closes it) are scored against the broadcast-sized baseline
-  histogram with ``operators.drift.ks_statistic``/``psi`` and appended
-  to the sink as (window_start, window_end, column, ks, psi) rows.
+  histogram with ``operators.drift.ks_statistic``/``psi`` and written
+  to the sink as (window_start, window_end, column, ks, psi) rows in
+  a per-epoch partition (replay-idempotent).
   Baseline = any (column, bin, count) table, e.g. a clean batch run's
   ``drift.histogram`` output replayed from parquet — stream and batch
   agree on binning by construction (same bin expression).
@@ -66,7 +67,8 @@ def drift_scores(
     query_name: str = "drift_scores",
 ):
     """Score each closed window's histogram against the baseline and
-    append (window_start, window_end, column, ks, psi) parquet rows.
+    write (window_start, window_end, column, ks, psi) parquet rows,
+    one epoch_id partition per micro-batch (idempotent under replay).
     Returns the StreamingQuery (caller manages its lifecycle).
 
     The baseline collects to the driver ONCE (≤ bins rows per column —
@@ -76,7 +78,7 @@ def drift_scores(
     base = _hist_dict(baseline)
     spark = hist_stream.sparkSession
 
-    def _score(batch_df: DataFrame, _epoch: int) -> None:
+    def _score(batch_df: DataFrame, epoch_id: int) -> None:
         rows = []
         grouped: dict[tuple, dict[int, int]] = {}
         for r in batch_df.collect():
@@ -93,10 +95,14 @@ def drift_scores(
                 )
             )
         if rows:
+            # idempotent: a replayed micro-batch (foreachBatch is
+            # at-least-once) overwrites its own epoch partition
             spark.createDataFrame(
                 rows,
                 "window_start timestamp, window_end timestamp, column string, ks double, psi double",
-            ).coalesce(1).write.mode("append").parquet(sink_path)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{sink_path}/epoch_id={epoch_id}"
+            )
 
     return (
         hist_stream.writeStream.outputMode("append")

@@ -28,18 +28,22 @@ def streaming_validate(
     trigger: dict | None = None,
     **bind_opts,
 ):
-    """Validate a stream; violation rows appended to a parquet sink with
-    exactly-once semantics via foreachBatch + checkpointing.
+    """Validate a stream; violation rows land in a parquet sink
+    partitioned by ``epoch_id``, written idempotently: each micro-batch
+    OVERWRITES its own epoch partition, so a batch replayed after a
+    failure (foreachBatch is at-least-once) replaces rather than
+    duplicates its rows — end-to-end exactly-once at the sink.
 
     Returns the StreamingQuery handle (call ``processAllAvailable()`` in
     tests, ``awaitTermination()`` in jobs)."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         res = bind(schema, batch_df, row_key=row_key, **bind_opts)
-        (
-            res.violations.withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(violations_sink)
+        # epoch_id lives in the partition DIRECTORY (readers recover it
+        # via partition discovery) — embedding it as a data column too
+        # would collide with the inferred partition column on read
+        res.violations.write.mode("overwrite").parquet(
+            f"{violations_sink}/epoch_id={epoch_id}"
         )
 
     writer = (

@@ -1,0 +1,132 @@
+"""Regression tests for the second round-diff review: multi-level
+partition overwrite, CSV by-name binding, streaming dedup null keys,
+stateful alarm re-emission, IVF training-sample validation."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sinter_spark.schema import Schema
+
+
+class TestCatalogMultiLevelPartitions:
+    def test_dynamic_overwrite_keeps_sibling_subpartitions(self, spark, tmp_path):
+        from sinter_spark.catalog import LocalParquetCatalog
+
+        cat = LocalParquetCatalog(spark, str(tmp_path / "wh"))
+        t = cat.create_table("tt", "a int, b int, v string", partition_by=["a", "b"])
+        t.append(spark.createDataFrame([(1, 1, "keep"), (1, 2, "old"), (2, 1, "other")], "a int, b int, v string"))
+        # dynamic overwrite of ONLY (a=1, b=2): (a=1, b=1) must survive
+        t.overwrite_partitions(spark.createDataFrame([(1, 2, "new")], "a int, b int, v string"))
+        got = {(r["a"], r["b"], r["v"]) for r in t.read().collect()}
+        assert got == {(1, 1, "keep"), (1, 2, "new"), (2, 1, "other")}
+        # manifest keys are leaf-grained
+        assert all("/" in k for k in t.manifest())
+
+
+class TestCsvByNameBinding:
+    def test_header_order_differs_from_schema(self, spark, tmp_path):
+        from sinter_spark.sources import read_csv_validated
+
+        p = str(tmp_path / "f.csv")
+        with open(p, "w") as f:
+            f.write("age,name\n30,bob\n-4,zed\n")
+        schema = Schema.define([("name", "string"), ("age", "integer", {"gt": 0})])
+        res = read_csv_validated(spark, p, schema, row_key="name")
+        ok = {r["name"]: r["age"] for r in res.validated.collect()}
+        assert ok == {"bob": 30}  # positional binding would swap fields
+        viols = res.violations.collect()
+        assert [(v["row_key"], v["code"]) for v in viols] == [("zed", "gt")]
+
+
+class TestStreamingDedupNullText:
+    def test_null_text_rows_pass_through(self, spark, tmp_path):
+        from sinter_spark.streaming.dedup_stream import dedup_stream
+
+        rows = [
+            {"doc_id": 1, "text": "same doc", "ts": "2026-01-01 00:00:00"},
+            {"doc_id": 2, "text": "same doc", "ts": "2026-01-01 00:00:30"},
+            {"doc_id": 3, "text": None, "ts": "2026-01-01 00:01:00"},
+            {"doc_id": 4, "text": None, "ts": "2026-01-01 00:01:30"},
+            {"doc_id": 5, "text": None, "ts": "2026-01-01 00:02:00"},
+        ]
+        src = str(tmp_path / "src")
+        (
+            spark.createDataFrame(pd.DataFrame(rows))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .write.parquet(src)
+        )
+        stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+        out = dedup_stream(stream, event_time_col="ts", delay="10 minutes")
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName("nulldedup").option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(r["doc_id"] for r in spark.sql("select * from nulldedup").collect())
+        # one survivor of the duplicate pair; ALL null-text rows kept
+        assert got in ([1, 3, 4, 5], [2, 3, 4, 5])
+
+
+class TestStreakAlarmBatching:
+    def test_quiet_batch_does_not_realarm(self, spark, tmp_path):
+        from sinter_spark.streaming.stateful import violation_streaks
+
+        src = str(tmp_path / "src")
+        schema = Schema.define([("event_id", "integer"), ("value", "float", {"gt": 0})])
+
+        def write_batch(rows):
+            spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(src)
+
+        write_batch([
+            {"event_id": i, "user_id": 1, "ts": float(i), "value": -1.0 if i < 3 else 5.0}
+            for i in range(5)
+        ])
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts double, value double"
+        ).parquet(src)
+        alarms = violation_streaks(
+            schema, stream, key_col="user_id", ts_col="ts",
+            row_key="event_id", streak_threshold=3,
+        )
+        q = (
+            alarms.writeStream.outputMode("append").format("memory")
+            .queryName("realarm").option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        n_after_bad = spark.sql("select * from realarm").count()
+        # second batch: clean rows only — must NOT re-emit the old streak
+        write_batch([
+            {"event_id": 100 + i, "user_id": 1, "ts": 100.0 + i, "value": 5.0}
+            for i in range(4)
+        ])
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("select * from realarm").collect()
+        assert n_after_bad == 1 and len(rows) == 1
+        assert rows[0]["streak"] == 3
+
+
+class TestIvfTrainingValidation:
+    def test_null_embedding_in_sample_clear_error(self, spark):
+        from sinter_spark.operators import ivf
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="null or wrong-dimension"):
+            ivf.train_centroids(df, n_clusters=2, sample_size=10)
+
+    def test_ragged_embedding_in_sample_clear_error(self, spark):
+        from sinter_spark.operators import ivf
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="dims seen"):
+            ivf.train_centroids(df, n_clusters=2, sample_size=10)
