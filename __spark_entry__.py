@@ -459,29 +459,29 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_docs": r"""
             WITH feat AS (
               SELECT doc_id,
-                     length(text) AS n_chars_obs,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-                     CASE WHEN length(text) > 0
-                          THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)/length(text)
+                     length(coalesce(text, '')) AS n_chars_obs,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END AS n_tokens,
+                     len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                     CASE WHEN length(coalesce(text, '')) > 0
+                          THEN CAST(length(regexp_replace(coalesce(text, ''), '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE)/length(coalesce(text, ''))
                           ELSE 0.0 END AS pr,
-                     CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
-                          THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     CASE WHEN len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) > 0
+                          THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
                                     w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                               / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                               / len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'))
                           ELSE 0.0 END AS sr
                 FROM documents)
             SELECT doc_id, n_chars_obs, n_tokens, n_bpe_tokens,
                    ROUND(pr, 6) AS punct_ratio,
                    ROUND(sr, 6) AS stopword_ratio,
-                   ROUND(
+                   ROUND(CASE WHEN n_chars_obs = 0 THEN 0.0 ELSE
                      LEAST(n_chars_obs / 200.0, 1.0) * 0.4
                      + CASE WHEN n_tokens > 0
                             AND CAST(n_chars_obs AS DOUBLE)/n_tokens >= 3
                             AND CAST(n_chars_obs AS DOUBLE)/n_tokens <= 10
                             THEN 1.0 ELSE 0.0 END * 0.4
-                     + (1.0 - LEAST(pr * 5, 1.0)) * 0.2, 6) AS quality
+                     + (1.0 - LEAST(pr * 5, 1.0)) * 0.2 END, 6) AS quality
               FROM feat
         """,
         "langid_docs": """

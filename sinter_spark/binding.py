@@ -35,12 +35,11 @@ from pyspark.sql import types as ST
 
 from .errors import VIOLATION_DDL
 from .schema import FieldDef, Schema
-from .types import DATETIME_ISO_RE_JAVA, UUID_RE_JAVA, type_name as py_type_name
+from .types import DATE_ISO_RE_JAVA, DATETIME_ISO_RE_JAVA, UUID_RE_JAVA, type_name as py_type_name
 
 VSTRUCT_DDL = "struct<path:array<string>,code:string,message:string,context:map<string,string>>"
 _EMPTY_ARR = f"array<{VSTRUCT_DDL}>"
 
-_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
 
 _INT_TYPES = (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)
 _FLOAT_TYPES = (ST.FloatType, ST.DoubleType, ST.DecimalType)
@@ -138,7 +137,7 @@ def _type_violation(spec: Any, col: Column, dt: ST.DataType):
             if isinstance(dt, ST.DateType):
                 return None
             if isinstance(dt, ST.StringType):
-                cond = ~(col.rlike(_DATE_RE) & F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).isNotNull())
+                cond = ~(col.rlike(DATE_ISO_RE_JAVA) & F.try_to_timestamp(col, F.lit("yyyy-MM-dd")).isNotNull())
                 return ("cond", "format", cond, "expected ISO8601 date string")
             return ("static", "type", f"expected date string, got {got}")
         if spec == "datetime":
@@ -217,16 +216,6 @@ def _literal_primitive(v: Any) -> str:
     return n if n in ("string", "integer", "float", "boolean") else "string"
 
 
-def _pass_pred(spec: Any, col: Column, dt: ST.DataType):
-    """Boolean pass predicate (True/False/Column) for union branches."""
-    r = _type_violation(spec, col, dt)
-    if r is None:
-        return True
-    if r[0] == "static":
-        return False
-    return ~r[2]
-
-
 # ---------------------------------------------------------------------------
 # constraints (§2.3) — vectorized Column predicates
 # ---------------------------------------------------------------------------
@@ -292,10 +281,205 @@ def _null_element_error(spec: Any) -> tuple[str, str] | None:
     return errs[0].code, errs[0].message
 
 
+def _empty_viols() -> Column:
+    return F.array().cast(_EMPTY_ARR)
+
+
+def _value_viols(spec: Any, x: Column, dt: ST.DataType, pcol: Column) -> Column | None:
+    """array<vstruct> of TYPE-level violations for one VALUE at dynamic
+    path ``pcol``, recursing into composite specs — the builder behind
+    every per-element check, so nested composites (array-of-array,
+    array-of-object, map-of-tuple, nullable wrappers at any depth) are
+    actually validated instead of silently passing once the outer
+    container's Spark type matches.
+
+    Returns None when the spec is statically satisfied by ``dt``
+    (no runtime work). Null handling: a null VALUE here is judged by
+    the driver engine's verdict on ``None`` for the same spec
+    (:func:`_null_element_error`) — composite-internal nulls violate
+    unless the spec accepts null.
+
+    Object specs validate required/missing fields, field types
+    (recursively), and field constraints. Documented divergences from
+    the driver grain for objects nested INSIDE composites: defaults,
+    aliases, custom field validators, and strict-extras are not
+    applied at this depth (top-level object fields get all of them via
+    :func:`_bind_struct`)."""
+    if isinstance(spec, str) or (isinstance(spec, tuple) and spec[0] in ("literal", "union")):
+        r = _type_violation(spec, x, dt)
+        if r is None:
+            return None
+        if r[0] == "static":
+            return F.array(_vstruct(pcol, r[1], r[2]))
+        return F.when(r[2], F.array(_vstruct(pcol, r[1], r[3]))).otherwise(_empty_viols())
+
+    tag = spec[0]
+    if tag == "nullable":
+        inner = _value_viols(spec[1], x, dt, pcol)
+        if inner is None:
+            return None
+        return F.when(x.isNull(), _empty_viols()).otherwise(inner)
+
+    if tag == "array":
+        if not isinstance(dt, ST.ArrayType):
+            return F.array(_vstruct(pcol, "type", f"expected array, got {_dtype_name(dt)}"))
+        edt = dt.elementType
+        null_err = _null_element_error(spec[1])
+        probe = _elem_probe(spec[1], edt)
+        if probe is None and null_err is None:
+            return None
+
+        def emit(e: Column, i: Column) -> Column:
+            p = F.concat(pcol, F.array(i.cast("string")))
+            sub = _value_viols(spec[1], e, edt, p)
+            nonnull = sub if sub is not None else _empty_viols()
+            if null_err is None:
+                return F.when(e.isNull(), _empty_viols()).otherwise(nonnull)
+            return F.when(e.isNull(), F.array(_vstruct(p, *null_err))).otherwise(nonnull)
+
+        arr = F.flatten(F.transform(x, emit))
+        return F.when(x.isNull(), _empty_viols()).otherwise(arr)
+
+    if tag == "map":
+        if not isinstance(dt, ST.MapType):
+            return F.array(_vstruct(pcol, "type", f"expected map, got {_dtype_name(dt)}"))
+        kspec, vspec = spec[1], spec[2]
+        parts = []
+        def make_emit(sub_spec, sub_dt, getter, null_err):
+            # a factory, not default-args: Spark's higher-order-function
+            # wrapper inspects the lambda's arity
+            def emit(e: Column) -> Column:
+                t = getter(e)
+                p = F.concat(pcol, F.array(e.getField("key").cast("string")))
+                sub = _value_viols(sub_spec, t, sub_dt, p)
+                nonnull = sub if sub is not None else _empty_viols()
+                if null_err is None:
+                    return F.when(t.isNull(), _empty_viols()).otherwise(nonnull)
+                return F.when(t.isNull(), F.array(_vstruct(p, *null_err))).otherwise(nonnull)
+
+            return emit
+
+        for sub_spec, sub_dt, getter in (
+            (kspec, dt.keyType, lambda e: e.getField("key")),
+            (vspec, dt.valueType, lambda e: e.getField("value")),
+        ):
+            null_err = _null_element_error(sub_spec)
+            probe = _elem_probe(sub_spec, sub_dt)
+            if probe is None and null_err is None:
+                continue
+            parts.append(
+                F.flatten(F.transform(F.map_entries(x), make_emit(sub_spec, sub_dt, getter, null_err)))
+            )
+        if not parts:
+            return None
+        arr = parts[0]
+        for p_ in parts[1:]:
+            arr = F.concat(arr, p_)
+        return F.when(x.isNull(), _empty_viols()).otherwise(arr)
+
+    if tag == "tuple":
+        r = _type_violation(spec, x, dt)
+        if r is not None:  # not-a-struct / wrong arity is static
+            return F.array(_vstruct(pcol, r[1], r[2]))
+        parts = []
+        for i, (espec, f) in enumerate(zip(spec[1], dt.fields)):
+            p = F.concat(pcol, F.array(F.lit(str(i))))
+            ecol = x.getField(f.name)
+            null_err = _null_element_error(espec)
+            sub = _value_viols(espec, ecol, f.dataType, p)
+            if sub is None and null_err is None:
+                continue
+            nonnull = sub if sub is not None else _empty_viols()
+            if null_err is None:
+                parts.append(F.when(ecol.isNull(), _empty_viols()).otherwise(nonnull))
+            else:
+                parts.append(
+                    F.when(ecol.isNull(), F.array(_vstruct(p, *null_err))).otherwise(nonnull)
+                )
+        if not parts:
+            return None
+        arr = parts[0]
+        for p_ in parts[1:]:
+            arr = F.concat(arr, p_)
+        return F.when(x.isNull(), _empty_viols()).otherwise(arr)
+
+    if tag == "object":
+        if not isinstance(dt, ST.StructType):
+            return F.array(_vstruct(pcol, "type", f"expected object, got {_dtype_name(dt)}"))
+        sub_fields = {f.name: f.dataType for f in dt.fields}
+        parts = []
+        for fd in spec[1].fields.values():
+            p = F.concat(pcol, F.array(F.lit(fd.name)))
+            if fd.name not in sub_fields:
+                if fd.required and fd.default is None:
+                    parts.append(F.array(_vstruct(p, "required", "field is required")))
+                continue
+            fcol, fdt = x.getField(fd.name), sub_fields[fd.name]
+            field_parts = []
+            if fd.required and fd.default is None:
+                field_parts.append(
+                    F.when(fcol.isNull(), F.array(_vstruct(p, "required", "field is required"))).otherwise(_empty_viols())
+                )
+            tsub = _value_viols(fd.type, fcol, fdt, p)
+            if tsub is not None:
+                field_parts.append(F.when(fcol.isNull(), _empty_viols()).otherwise(tsub))
+            cons = [
+                F.when(fcol.isNotNull() & cond, F.array(_vstruct(p, code, msg))).otherwise(_empty_viols())
+                for code, cond, msg in _constraint_checks(fd, fcol, fdt, ())
+            ]
+            field_parts.extend(cons)
+            parts.extend(field_parts)
+        if not parts:
+            return None
+        arr = parts[0]
+        for p_ in parts[1:]:
+            arr = F.concat(arr, p_)
+        return F.when(x.isNull(), _empty_viols()).otherwise(arr)
+
+    # discriminated unions nested inside composites: vectorized variant
+    # dispatch needs per-variant masks over the discriminator — emit the
+    # discriminator presence checks only (variant-field validation at
+    # this depth is a documented driver-grain-only feature)
+    if tag == "discriminated_union":
+        r = _type_violation(spec, x, dt)
+        if r is not None:
+            return F.array(_vstruct(pcol, r[1], r[2]))
+        disc = spec[1]
+        names = {f.name for f in dt.fields}
+        if disc not in names:
+            return F.array(_vstruct(pcol, "missing_discriminator", f"missing discriminator field '{disc}'"))
+        dcol = x.getField(disc)
+        keys = [str(k) for k in spec[2]]
+        missing = F.when(
+            dcol.isNull(),
+            F.array(_vstruct(pcol, "missing_discriminator", f"missing discriminator field '{disc}'")),
+        ).otherwise(_empty_viols())
+        unknown = F.when(
+            dcol.isNotNull() & ~dcol.cast("string").isin(keys),
+            F.array(
+                _vstruct(
+                    pcol,
+                    "unknown_discriminator",
+                    F.concat(F.lit("unknown discriminator value '"), dcol.cast("string"), F.lit("'")),
+                )
+            ),
+        ).otherwise(_empty_viols())
+        return F.when(x.isNull(), _empty_viols()).otherwise(F.concat(missing, unknown))
+
+    raise BindError(f"unsupported spec {spec!r}")
+
+
+def _elem_probe(spec: Any, dt: ST.DataType):
+    """Cheap static probe: None iff _value_viols(spec, …) would be None
+    for this dtype (probed with a typed null literal)."""
+    return _value_viols(spec, F.lit(None).cast(dt), dt, F.array().cast("array<string>"))
+
+
 def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[BoundCheck]:
     """Per-element runtime checks for array columns, emitting indexed
     violation paths (types.ex:194-238) without exploding the table:
-    transform+filter builds the violation structs in place.
+    transform/flatten builds the violation structs in place, recursing
+    into composite element specs via :func:`_value_viols`.
 
     NULL elements inside a present array are violations unless the
     element spec accepts null ((nullable,...)/any/null) — matching the
@@ -303,78 +487,22 @@ def _element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[st
     top-level columns only."""
     if not (isinstance(spec, tuple) and spec[0] == "array" and isinstance(dt, ST.ArrayType)):
         return []
-    inner = spec[1]
-    elem_dt = dt.elementType
-
-    probe = _type_violation(inner, F.lit(None).cast(elem_dt), elem_dt)
-    null_err = _null_element_error(inner)
-    if probe is None and null_err is None:
+    viols = _value_viols(spec, value, dt, _path_lit(path))
+    if viols is None:
         return []
-    base = _path_lit(path)
-
-    def emit(x: Column, i: Column) -> Column:
-        p = F.concat(base, F.array(i.cast("string")))
-        if probe is None:
-            nonnull = F.lit(None).cast(VSTRUCT_DDL)
-        else:
-            r = _type_violation(inner, x, elem_dt)
-            if r[0] == "static":
-                nonnull = _vstruct(p, r[1], r[2])
-            else:
-                nonnull = F.when(r[2], _vstruct(p, r[1], r[3]))
-        if null_err is None:
-            return F.when(x.isNotNull(), nonnull)
-        return F.when(x.isNull(), _vstruct(p, *null_err)).otherwise(nonnull)
-
-    arr = F.filter(F.transform(value, emit), lambda s: s.isNotNull())
-    # null array → no element violations
-    arr = F.when(value.isNotNull(), arr).otherwise(F.array().cast(_EMPTY_ARR))
-    return [BoundCheck(arr, is_array=True)]
+    return [BoundCheck(F.coalesce(viols, _empty_viols()), is_array=True)]
 
 
 def _map_element_checks(spec: Any, value: Column, dt: ST.DataType, path: Sequence[str]) -> list[BoundCheck]:
     """Per-entry runtime checks for map columns: every key and value
-    validated, violation paths carry the key (types.ex:274-308)."""
+    validated (recursively, via :func:`_value_viols`), violation paths
+    carry the key (types.ex:274-308)."""
     if not (isinstance(spec, tuple) and spec[0] == "map" and isinstance(dt, ST.MapType)):
         return []
-    kspec, vspec = spec[1], spec[2]
-    base = _path_lit(path)
-    out: list[BoundCheck] = []
-
-    def entry_check(sub_spec, sub_dt, getter):
-        probe = _type_violation(sub_spec, F.lit(None).cast(sub_dt), sub_dt)
-        null_err = _null_element_error(sub_spec)
-        if probe is None and null_err is None:
-            return None
-
-        def emit(e: Column) -> Column:
-            target = getter(e)
-            p = F.concat(base, F.array(e.getField("key").cast("string")))
-            if probe is None:
-                nonnull = F.lit(None).cast(VSTRUCT_DDL)
-            else:
-                r = _type_violation(sub_spec, target, sub_dt)
-                if r[0] == "static":
-                    nonnull = _vstruct(p, r[1], r[2])
-                else:
-                    nonnull = F.when(r[2], _vstruct(p, r[1], r[3]))
-            if null_err is None:
-                return F.when(target.isNotNull(), nonnull)
-            return F.when(target.isNull(), _vstruct(p, *null_err)).otherwise(nonnull)
-
-        arr = F.filter(F.transform(F.map_entries(value), emit), lambda s: s.isNotNull())
-        return BoundCheck(
-            F.when(value.isNotNull(), arr).otherwise(F.array().cast(_EMPTY_ARR)),
-            is_array=True,
-        )
-
-    kc = entry_check(kspec, dt.keyType, lambda e: e.getField("key"))
-    if kc is not None:
-        out.append(kc)
-    vc = entry_check(vspec, dt.valueType, lambda e: e.getField("value"))
-    if vc is not None:
-        out.append(vc)
-    return out
+    viols = _value_viols(spec, value, dt, _path_lit(path))
+    if viols is None:
+        return []
+    return [BoundCheck(F.coalesce(viols, _empty_viols()), is_array=True)]
 
 
 def _tuple_element_checks(spec: Any, value: Column, dt: ST.DataType, path: tuple, guard: Column):
@@ -407,6 +535,13 @@ def _tuple_element_checks(spec: Any, value: Column, dt: ST.DataType, path: tuple
                 out.append((BoundCheck(F.when(guard, _vstruct(eplit, r[1], r[2]))), False))
             else:
                 out.extend(_tuple_element_checks(espec, ecol, edt, epath, guard & ecol.isNotNull()))
+            continue
+        if isinstance(espec, tuple) and espec[0] in ("array", "map", "object", "discriminated_union"):
+            # composite member: recursive interior validation
+            sub = _value_viols(espec, ecol, edt, eplit)
+            if sub is not None:
+                arr = F.when(guard & ecol.isNotNull(), sub).otherwise(_empty_viols())
+                out.append((BoundCheck(arr, is_array=True), F.size(arr) == 0))
             continue
         r = _type_violation(espec, ecol, edt)
         if r is None:
@@ -532,6 +667,15 @@ def _bind_field(
     canonical = resolve(fd.name)
     aliased = resolve(fd.alias) if fd.alias else None
     if aliased is not None and canonical is not None:
+        if aliased[1].simpleString() != canonical[1].simpleString():
+            # coalesce would widen to a common type and every static
+            # type decision below (taken from the alias dtype alone)
+            # would silently mis-describe canonical-sourced values
+            raise BindError(
+                f"field {fd.name!r}: alias column {fd.alias!r} is "
+                f"{aliased[1].simpleString()} but canonical column is "
+                f"{canonical[1].simpleString()} — align the column types or drop one"
+            )
         value = F.coalesce(aliased[0], canonical[0])
         dt = aliased[1]
     elif aliased is not None:
@@ -569,13 +713,23 @@ def _bind_field(
     # type check (incl. per-element checks) failed
     type_ok: Column | bool = True
     spec = fd.type
-    if isinstance(spec, tuple) and spec[0] in ("object", "discriminated_union"):
+    # composite dispatch sees THROUGH a nullable wrapper: the type
+    # check below keeps nullable semantics (null passes), but element/
+    # subfield validation must still run on present values — otherwise
+    # ('nullable', ('array'|'object'|…)) silently skips all inner checks
+    dspec = spec
+    if isinstance(spec, tuple) and spec[0] == "nullable" and isinstance(spec[1], tuple):
+        dspec = spec[1]
+    if isinstance(dspec, tuple) and dspec[0] in ("object", "discriminated_union"):
         tv = _type_violation(spec, value, dt)
         if tv is not None and tv[0] == "static":
             checks.append(BoundCheck(F.when(guard, _vstruct(plit, tv[1], tv[2]))))
             type_ok = False
+        elif tv is not None:  # nullable wrap turned static into cond
+            checks.append(BoundCheck(F.when(guard & tv[2], _vstruct(plit, tv[1], tv[3]))))
+            type_ok = ~tv[2]
         else:
-            checks.extend(_bind_struct(spec, value, dt, fpath, coerce, guard))
+            checks.extend(_bind_struct(dspec, value, dt, fpath, coerce, guard))
     else:
         tv = _type_violation(spec, value, dt)
         if tv is not None:
@@ -585,13 +739,13 @@ def _bind_field(
             else:
                 checks.append(BoundCheck(F.when(guard & tv[2], _vstruct(plit, tv[1], tv[3]))))
                 type_ok = ~tv[2]
-        for ec in _element_checks(spec, value, dt, fpath) + _map_element_checks(spec, value, dt, fpath):
+        for ec in _element_checks(dspec, value, dt, fpath) + _map_element_checks(dspec, value, dt, fpath):
             checks.append(ec)
             elem_ok = F.size(ec.column) == 0
             type_ok = elem_ok if type_ok is True else (type_ok & elem_ok if type_ok is not False else False)
         # tuple element types are positional struct facts; checks carry
         # indexed paths and feed the same short-circuit
-        for bc, ok in _tuple_element_checks(spec, value, dt, fpath, guard):
+        for bc, ok in _tuple_element_checks(dspec, value, dt, fpath, guard):
             checks.append(bc)
             if type_ok is False or ok is False:
                 type_ok = False
@@ -699,23 +853,33 @@ def _mask_check(c: BoundCheck, mask: Column) -> BoundCheck:
 
 
 def _custom_validator_udf(validators: list[Callable]):
-    """Vectorized custom-validator chain: fn(value)->None|('error',msg)
-    per element, or a vectorized fn (attr .vectorized) taking a pandas
-    Series → Series of message|None. Short-circuits at first error per
-    value (validator.ex:368-373); raises are wrapped (\\x00 prefix →
-    custom_validation_error, validator.ex:397-408)."""
+    """Vectorized custom-validator chain mirroring the driver protocol
+    (driver_validate.py:178-210): per element, None/True → pass,
+    ('ok', v) → replace the value for LATER validators in the chain,
+    ('error', msg) → custom_validation, any other return →
+    custom_validation_error "invalid format" (the driver emits it too —
+    a bare-string return must not silently pass at table grain).
+    Vectorized fns (attr .vectorized) take a pandas Series → Series of
+    message|None. Short-circuits at first error per value
+    (validator.ex:368-373); raises are wrapped (\\x00 prefix →
+    custom_validation_error, validator.ex:397-408).
+
+    Documented divergence: an ('ok', v) TRANSFORMED value feeds later
+    validators but does not replace the column value in the output
+    projection (the table grain validates; it does not rewrite)."""
     fns = list(validators)
 
     @F.pandas_udf("string")
     def _run(s: pd.Series) -> pd.Series:
         msgs = pd.Series([None] * len(s), index=s.index, dtype=object)
         pending = s.notna()
+        vals = s.copy()  # ('ok', v) replacements feed later validators
         for fn in fns:
             if not pending.any():
                 break
             if getattr(fn, "vectorized", False):
                 try:
-                    res = fn(s[pending])
+                    res = fn(vals[pending])
                 except Exception as e:  # noqa: BLE001
                     msgs[pending] = f"\x00field validator raised: {e}"
                     pending[:] = False
@@ -726,14 +890,22 @@ def _custom_validator_udf(validators: list[Callable]):
             else:
                 for idx in s.index[pending]:
                     try:
-                        r = fn(s[idx])
+                        r = fn(vals[idx])
                     except Exception as e:  # noqa: BLE001
                         msgs[idx] = f"\x00field validator raised: {e}"
                         pending[idx] = False
                         continue
+                    if r is None or r is True:
+                        continue
+                    if isinstance(r, tuple) and len(r) == 2 and r[0] == "ok":
+                        vals[idx] = r[1]
+                        continue
                     if isinstance(r, tuple) and len(r) == 2 and r[0] == "error":
                         msgs[idx] = str(r[1])
                         pending[idx] = False
+                        continue
+                    msgs[idx] = f"\x00field validator returned invalid format: {r!r}"
+                    pending[idx] = False
         return msgs
 
     return _run

@@ -161,6 +161,17 @@ def optimize_schema_from_failures(
             opts["default"] = fd.default
         if "format" in opts:
             opts["format"] = opts["format"].pattern
+        # relaxation must not silently strip unrelated field metadata:
+        # custom validators, docs, and the dspex input/output tag carry
+        # over verbatim (only what the strategy names is relaxed)
+        if fd.validate:
+            opts["validate"] = list(fd.validate)
+        if fd.description is not None:
+            opts["description"] = fd.description
+        if fd.example is not None:
+            opts["example"] = fd.example
+        if fd.dspex_field_type is not None:
+            opts["dspex_field_type"] = fd.dspex_field_type
         new_fields.append((name, t, opts))
     if add_missing_fields:
         for extra in patterns.get("common_extra_fields", []):

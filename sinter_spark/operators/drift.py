@@ -11,7 +11,6 @@ run's snapshot replays as the next run's reference.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -44,8 +43,14 @@ def histogram(
         row = df.agg(F.min(c).cast("double").alias("lo"), F.max(c).cast("double").alias("hi")).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-        if lo is None:  # all-null column
+        # all-null column: only the UNSUPPLIED bound(s) fall back — a
+        # caller-given bound must never be silently rebound
+        if lo is None and hi is None:
             lo, hi = 0.0, 1.0
+        elif lo is None:
+            lo = min(0.0, float(hi))
+        elif hi is None:
+            hi = max(1.0, float(lo) + 1.0)
     width = (float(hi) - float(lo)) / bins or 1.0
     b = F.least(
         F.greatest(F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(width)), F.lit(0)),

@@ -36,23 +36,34 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
     if cols is None:
         cols = df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    # internal aliases are POSITIONAL (nulls__0, …), never derived from
+    # the user's column names: a name with spaces/dashes/quotes would
+    # break the stack() expression below; column access is backtick-
+    # quoted so dots resolve as literal name chars, not struct nesting
+    def _c(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(_c(c).isNull().cast("long")).alias(f"nulls__{i}"))
         if isinstance(dtypes[c], _NUMERIC):
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"min__{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"max__{c}"))
+            aggs.append(F.min(_c(c)).cast("double").alias(f"min__{i}"))
+            aggs.append(F.max(_c(c)).cast("double").alias(f"max__{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"min__{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"max__{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"min__{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"max__{i}"))
         if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"dist__{c}"))
+            aggs.append(F.approx_count_distinct(_c(c)).alias(f"dist__{i}"))
         else:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"dist__{c}"))
+            aggs.append(F.count_distinct(_c(c)).alias(f"dist__{i}"))
     wide = df.agg(*aggs)
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     # unpivot wide → long with one stack expression (no extra pass)
     stack_args = ", ".join(
-        f"'{c}', nulls__{c}, min__{c}, max__{c}, dist__{c}" for c in cols
+        f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}, dist__{i}" for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         "__n as n_rows",

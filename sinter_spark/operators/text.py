@@ -69,8 +69,13 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features + composite score, one projection."""
-    c = F.col(text_col)
+    """Per-doc quality features + composite score, one projection.
+
+    NULL text ≡ empty document: every feature is 0 and quality is 0.0.
+    Without the coalesce, ``F.least`` skips nulls — a NULL doc would
+    score 0.6 (outranking genuine short texts) and ``size(split(null))``
+    would emit -1 token counts."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_tokens = whitespace_token_count(c)
     pr = punct_ratio(c)
@@ -78,7 +83,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
     # composite score in [0,1]: long enough, readable token length,
     # light punctuation (deterministic arithmetic — oracle-friendly)
-    quality = (
+    quality = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         F.least(n_chars / F.lit(200.0), F.lit(1.0)) * 0.4
         + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.4
         + (F.lit(1.0) - F.least(pr * 5, F.lit(1.0))) * 0.2

@@ -81,6 +81,21 @@ def transform(schema_or_data, data: dict | None = None, *, aliases: dict | None 
 
 
 def _transform_plain(data: dict, aliases: dict, formats: dict, drop_nil: bool) -> dict:
+    def walk(v, fmt: bool):
+        # full recursive descent (transform.ex walks the whole tree):
+        # dicts recurse, LISTS recurse per element — sentinels inside a
+        # list are dropped and nested dicts inside lists are
+        # transformed, not passed through to choke json.dumps. Dates
+        # inside a list are formatted iff the list's key is
+        # formats-named (same rule as the scalar case).
+        if isinstance(v, dict):
+            return _transform_plain(v, aliases, formats, drop_nil)
+        if isinstance(v, (list, tuple)):
+            return [walk(e, fmt) for e in v if not any(e is s for s in _SENTINELS)]
+        if fmt and isinstance(v, (datetime, date)):
+            return v.isoformat()
+        return v
+
     out: dict[str, Any] = {}
     for k, v in data.items():
         if any(v is s for s in _SENTINELS):
@@ -90,18 +105,60 @@ def _transform_plain(data: dict, aliases: dict, formats: dict, drop_nil: bool) -
         key = str(k)
         if k in aliases or key in aliases:
             key = str(aliases.get(k, aliases.get(key)))
-        if (k in formats or key in formats) and isinstance(v, (datetime, date)):
+        fmt = k in formats or key in formats
+        if fmt and isinstance(v, (datetime, date)):
             v = v.isoformat()
-        elif isinstance(v, dict):
-            v = _transform_plain(v, aliases, formats, drop_nil)
+        elif isinstance(v, (dict, list, tuple)):
+            v = walk(v, fmt)
         out[key] = v
     return out
+
+
+def _serialize_typed(t, v, use_aliases: bool):
+    """Spec-directed serialization of one value: ISO dates, nested
+    objects via their schemas, and FULL descent through composite specs
+    — elements of ('array', ('object', s)) get aliases/date formatting
+    too (transform.ex does whole-tree descent), with sentinels inside
+    lists dropped."""
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(t, tuple) and t:
+        tag = t[0]
+        if tag == "nullable":
+            return v if v is None else _serialize_typed(t[1], v, use_aliases)
+        if tag == "object" and isinstance(v, dict):
+            return _transform_schema(t[1], v, use_aliases)
+        if tag == "array" and isinstance(v, (list, tuple)):
+            return [
+                _serialize_typed(t[1], e, use_aliases)
+                for e in v
+                if not any(e is s for s in _SENTINELS)
+            ]
+        if tag == "map" and isinstance(v, dict):
+            return {
+                k: _serialize_typed(t[2], e, use_aliases)
+                for k, e in v.items()
+                if not any(e is s for s in _SENTINELS)
+            }
+        if tag == "tuple" and isinstance(v, (list, tuple)):
+            return [
+                _serialize_typed(et, e, use_aliases)
+                for et, e in zip(t[1], v)
+            ]
+    if isinstance(v, (list, tuple)):  # untyped/union lists: dates + sentinels
+        return [
+            _serialize_typed("any", e, use_aliases)
+            for e in v
+            if not any(e is s for s in _SENTINELS)
+        ]
+    return v
 
 
 def _transform_schema(schema: Schema, data: dict, use_aliases: bool = True) -> dict:
     """Serialize a validated payload: drop sentinels, rename via alias
     (``use_aliases=False`` keeps canonical names, field_alias_test.exs:
-    75-113), ISO-format dates, recurse into nested objects
+    75-113), ISO-format dates, recurse into nested objects and
+    composite interiors via :func:`_serialize_typed`
     (transform.ex:38-137)."""
     out: dict[str, Any] = {}
     for name, fd in schema.fields.items():
@@ -110,13 +167,7 @@ def _transform_schema(schema: Schema, data: dict, use_aliases: bool = True) -> d
         v = data[name]
         if any(v is s for s in _SENTINELS):
             continue  # sentinel-drop
-        if isinstance(v, datetime):
-            v = v.isoformat()
-        elif isinstance(v, date):
-            v = v.isoformat()
-        t = fd.type
-        if isinstance(t, tuple) and t and t[0] == "object" and isinstance(v, dict):
-            v = _transform_schema(t[1], v, use_aliases)
+        v = _serialize_typed(fd.type, v, use_aliases)
         wire = (fd.alias or name) if use_aliases else name
         out[wire] = v
     # unknown keys pass through untouched (non-strict serialization)

@@ -130,3 +130,74 @@ class TestIvfTrainingValidation:
         )
         with pytest.raises(ValueError, match="dims seen"):
             ivf.train_centroids(df, n_clusters=2, sample_size=10)
+
+
+class TestThirdReviewFixes:
+    def test_null_text_quality_is_zero(self, spark):
+        from sinter_spark.operators.text import quality_features
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a reasonable piece of text here")],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in quality_features(df).collect()}
+        assert got[1]["quality"] == 0.0
+        assert got[1]["n_tokens"] == 0 and got[1]["n_bpe_tokens"] == 0
+        assert got[2]["quality"] > 0.0
+
+    def test_stats_on_hostile_column_names(self, spark):
+        from sinter_spark.operators.stats import column_stats
+
+        df = spark.createDataFrame(
+            [(1, 2.0)], ["a b", "it's-a.col"]
+        )
+        got = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+        assert set(got) == {"a b", "it's-a.col"}
+        assert got["it's-a.col"]["max_value"] == 2.0
+
+    def test_invalid_validator_return_flags_row(self, spark):
+        from sinter_spark.binding import bind
+        from sinter_spark.schema import Schema
+
+        schema = Schema.define(
+            [("name", "string", {"validate": [lambda v: "bare string"]})]
+        )
+        df = spark.createDataFrame([(1, "x")], "row_id bigint, name string")
+        res = bind(schema, df, row_key="row_id")
+        rows = res.violations.collect()
+        assert len(rows) == 1 and rows[0]["code"] == "custom_validation_error"
+        assert "invalid format" in rows[0]["message"]
+
+    def test_ok_transformed_value_feeds_next_validator(self, spark):
+        from sinter_spark.binding import bind
+        from sinter_spark.schema import Schema
+
+        chain = [
+            lambda v: ("ok", v.strip()),
+            lambda v: None if v == "x" else ("error", f"got {v!r}"),
+        ]
+        schema = Schema.define([("name", "string", {"validate": chain})])
+        df = spark.createDataFrame([(1, "  x  ")], "row_id bigint, name string")
+        res = bind(schema, df, row_key="row_id")
+        assert res.violations.count() == 0  # second fn saw the stripped value
+
+    def test_alias_canonical_dtype_mismatch_is_bind_error(self, spark):
+        import pytest as _pytest
+
+        from sinter_spark.binding import BindError, bind
+        from sinter_spark.schema import Schema
+
+        schema = Schema.define([("age", "integer", {"alias": "age_n"})])
+        df = spark.createDataFrame([(1, "30", 30)], "row_id bigint, age string, age_n bigint")
+        with _pytest.raises(BindError, match="align the column types"):
+            bind(schema, df, row_key="row_id")
+
+    def test_histogram_keeps_caller_bound_on_all_null(self, spark):
+        from sinter_spark.operators.drift import histogram
+
+        df = spark.createDataFrame([(None,), (None,)], "x double")
+        # caller-supplied hi must survive; only lo falls back
+        h = histogram(df, "x", bins=4, hi=50.0, auto_range=True)
+        assert h.count() == 0  # all-null: no binned rows, but no crash
+        h2 = histogram(df, "x", bins=4, lo=0.0, auto_range=True)
+        assert h2.count() == 0
