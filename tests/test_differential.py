@@ -229,3 +229,69 @@ def test_composite_grains_agree(spark, rows):
         for e in errors:
             driver.add((str(i), e.path, e.code))
     assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"
+
+
+def nested_schema():
+    return Schema.define(
+        [
+            ("aa", ("array", ("array", "integer")), {"optional": True}),
+            ("tags", ("nullable", ("array", "string")), {"optional": True}),
+            ("mv", ("map", "string", ("array", "integer")), {"optional": True}),
+        ]
+    )
+
+
+nested_row = st.fixed_dictionaries(
+    {
+        "aa": st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.lists(st.one_of(st.none(), st.integers(-3, 3)), max_size=3),
+                ),
+                max_size=3,
+            ),
+        ),
+        "tags": st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), st.sampled_from(["a", "b"])), max_size=3),
+        ),
+        "mv": st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from(["k1", "k2"]),
+                st.one_of(
+                    st.none(),
+                    st.lists(st.one_of(st.none(), st.integers(-2, 2)), max_size=3),
+                ),
+                max_size=2,
+            ),
+        ),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(nested_row, min_size=1, max_size=12))
+def test_nested_composite_grains_agree(spark, rows):
+    """Round-2 nested-composite coverage at both grains: array-of-array
+    element types, nullable-wrapped arrays, map values holding arrays —
+    identical (row, path, code) violation sets on random data."""
+    schema = nested_schema()
+    data = [(str(i), r["aa"], r["tags"], r["mv"]) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        data,
+        "__id string, aa array<array<bigint>>, tags array<string>, mv map<string,array<bigint>>",
+    )
+    res = bind(schema, df, row_key="__id")
+    table = {
+        (r["row_key"], tuple(r["path"]), r["code"]) for r in res.violations.collect()
+    }
+    driver = set()
+    for i, row in enumerate(rows):
+        clean = {k: v for k, v in row.items() if v is not None}
+        ok, _, errors = validate(schema, clean)
+        for e in errors:
+            driver.add((str(i), e.path, e.code))
+    assert table == driver, f"table-only: {table - driver} | driver-only: {driver - table}"
