@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import os
 import sys
 import time
@@ -75,7 +76,8 @@ def main() -> None:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    m_sf = re.search(r"sf(\d+(?:\.\d+)?)/?$", sf_dir.rstrip("/"))
+    sf = float(m_sf.group(1)) if m_sf else -1.0
 
     from sinter_spark.session import get_spark
 

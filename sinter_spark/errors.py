@@ -53,6 +53,8 @@ ERROR_CODES = frozenset(
         "decode",
         "psnr",
         "caption_mismatch",
+        "phash_mismatch",
+        "dim_mismatch",
     }
 )
 

@@ -41,8 +41,15 @@ def is_iso_date(col: Column | str) -> Column:
 
 
 def is_iso_datetime(col: Column | str) -> Column:
+    # same anchored shape gate as binding.py's datetime check:
+    # try_to_timestamp alone accepts date-only strings the reference
+    # rejects, and the two surfaces must agree
+    from .types import DATETIME_ISO_RE_JAVA
+
     c = _c(col)
-    return F.try_to_timestamp(F.replace(c, F.lit("Z"), F.lit("+00:00"))).isNotNull()
+    return c.rlike(DATETIME_ISO_RE_JAVA) & F.try_to_timestamp(
+        F.replace(c, F.lit("Z"), F.lit("+00:00"))
+    ).isNotNull()
 
 
 def length_between(col: Column | str, min_length: int | None = None, max_length: int | None = None) -> Column:

@@ -93,6 +93,8 @@ def decode_png(data: bytes) -> np.ndarray:
         if len(crc) != 4 or struct.unpack(">I", crc)[0] != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
             raise DecodeError("chunk crc mismatch")
         if tag == b"IHDR":
+            if len(payload) < 10:
+                raise DecodeError("short IHDR")
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             if depth != 8 or ctype != 2:
                 raise DecodeError("unsupported png variant")
@@ -123,8 +125,9 @@ def decode_png(data: bytes) -> np.ndarray:
             for x in range(1, w):
                 line[x] = (line[x] + line[x - 1]) & 0xFF
             out[y] = line.astype(np.uint8)
-        elif f == 2 and y > 0:
-            out[y] = ((out[y].astype(np.int32) + out[y - 1].astype(np.int32)) & 0xFF).astype(np.uint8)
+        elif f == 2:
+            if y > 0:  # spec: Up on row 0 adds an implicit zero row (no-op)
+                out[y] = ((out[y].astype(np.int32) + out[y - 1].astype(np.int32)) & 0xFF).astype(np.uint8)
         else:
             raise DecodeError(f"unsupported filter {f}")
     return out
@@ -156,6 +159,8 @@ def decode_qjpg(data: bytes) -> np.ndarray:
         raise DecodeError(f"qjpg inflate failed: {e}") from e
     if len(body) != h * w * c:
         raise DecodeError("qjpg size mismatch")
+    if not (1 <= bits <= 7):
+        raise DecodeError(f"qjpg bits out of range: {bits}")
     q = np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
     # dequantize to bucket midpoints
     shift = 8 - bits
@@ -173,7 +178,14 @@ def decode(fmt: str, data: bytes) -> np.ndarray:
     dec = DECODERS.get(fmt)
     if dec is None:
         raise DecodeError(f"unknown fmt '{fmt}'")
-    return dec(data)
+    try:
+        return dec(data)
+    except DecodeError:
+        raise
+    except Exception as e:  # noqa: BLE001 — untrusted bytes: ANY decoder
+        # exception is a corrupt payload; a validator must emit a
+        # violation row, never crash the Spark task on one bad row
+        raise DecodeError(f"malformed {fmt} payload: {type(e).__name__}: {e}") from e
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

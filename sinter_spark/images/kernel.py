@@ -54,6 +54,16 @@ def _check_row(
         v(["bytes"], "decode", f"decode failed: {e}", {"fmt": str(fmt)})
         return out
 
+    # stored dimensions must describe the payload they travel with —
+    # the same cross-field integrity rule as the phash check (a wrong
+    # but in-range w/h would otherwise pass the row pass's bounds and
+    # every payload check, which compares at the DECODED shape)
+    dec_h, dec_w = pixels.shape[0], pixels.shape[1]
+    if w is not None and int(w) != dec_w:
+        v(["w"], "dim_mismatch", f"stored w={w} but payload decodes {dec_w} wide", {"decoded": str(dec_w)})
+    if h is not None and int(h) != dec_h:
+        v(["h"], "dim_mismatch", f"stored h={h} but payload decodes {dec_h} high", {"decoded": str(dec_h)})
+
     if image_id is not None:
         ref = render_reference(image_id, pixels.shape[1], pixels.shape[0])
         if fmt in codecs.LOSSY_FMTS:

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from ..binding import TableValidationResult, bind
-from ..operators.drift import drift_report, drift_violations, histogram
+from ..operators.drift import drift_report, drift_violations
 from ..operators.referential import referential_violations
 from ..operators.uniqueness import uniqueness_violations
 from ..schema import Schema
@@ -100,15 +100,31 @@ def validate_images_full(
 
 
 def _image_histograms(df: DataFrame, hist_bins: int, ranges: dict) -> DataFrame:
-    lo_w, hi_w = ranges["w"]
-    lo_h, hi_h = ranges["h"]
-    lo_c, hi_c = ranges["caption_len"]
-    return (
-        histogram(df, "w", bins=hist_bins, lo=lo_w, hi=hi_w)
-        .unionByName(histogram(df, "h", bins=hist_bins, lo=lo_h, hi=hi_h))
-        .unionByName(
-            histogram(df, F.length("caption"), bins=hist_bins, lo=lo_c, hi=hi_c, name="caption_len")
+    """All three drift histograms in ONE scan: the per-column binned
+    values explode into (column, bin) pairs and one grouped count
+    covers every column — a union of three ``histogram`` calls would
+    scan the table three times (six with the baseline snapshot), in a
+    suite whose design rule is scan-count frugality. Bin values are
+    identical to ``histogram`` (shared :func:`~...drift.bin_expr`)."""
+    from ..operators.drift import bin_expr
+
+    exprs = []
+    for name, col in (("w", F.col("w")), ("h", F.col("h")), ("caption_len", F.length("caption"))):
+        lo, hi = ranges[name]
+        exprs.append(
+            F.when(
+                col.isNotNull(),
+                F.struct(
+                    F.lit(name).alias("column"),
+                    bin_expr(col, bins=hist_bins, lo=lo, hi=hi).alias("bin"),
+                ),
+            )
         )
+    pair = F.explode(F.filter(F.array(*exprs), lambda s: s.isNotNull())).alias("cb")
+    return (
+        df.select(pair)
+        .groupBy(F.col("cb.column").alias("column"), F.col("cb.bin").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
     )
 
 

@@ -51,17 +51,25 @@ def histogram(
             lo = min(0.0, float(hi))
         elif hi is None:
             hi = max(1.0, float(lo) + 1.0)
-    width = (float(hi) - float(lo)) / bins or 1.0
-    b = F.least(
-        F.greatest(F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    b = bin_expr(c, bins=bins, lo=float(lo), hi=float(hi))
     return (
         df.where(c.isNotNull())
         .groupBy(b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("count"))
         .select(F.lit(label).alias("column"), "bin", "count")
     )
+
+
+def bin_expr(c: F.Column, *, bins: int, lo: float, hi: float) -> F.Column:
+    """THE fixed-width bin expression — shared by :func:`histogram`,
+    the one-scan multi-column histogram (images/suite.py), and the
+    streaming windowed histogram, so every surface bins identically
+    (baseline snapshots compare like with like)."""
+    width = (float(hi) - float(lo)) / bins or 1.0
+    return F.least(
+        F.greatest(F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
 
 
 def _to_probs(hist: dict[int, int], bins: int, eps: float = 1e-9) -> np.ndarray:

@@ -62,10 +62,35 @@ def scan_columns(df: DataFrame) -> list[str]:
     column-pruning check: a validation pass that doesn't decode must
     never list the payload column here."""
     plan = physical_plan(df)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    m = re.search(r"ReadSchema: struct<", plan)
     if not m:
         return []
-    return [p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip()]
+    # bracket-aware extraction: `struct<([^>]*)>` would truncate at the
+    # first '>' of a nested map/array/struct field, hiding every later
+    # column — including a forbidden wide payload — from the check
+    s, depth, start = plan, 1, m.end()
+    i = start
+    while i < len(s) and depth:
+        if s[i] == "<":
+            depth += 1
+        elif s[i] == ">":
+            depth -= 1
+        i += 1
+    body = s[start : i - 1]
+    cols, level, tok = [], 0, []
+    for ch in body:
+        if ch == "<":
+            level += 1
+        elif ch == ">":
+            level -= 1
+        elif ch == "," and level == 0:
+            cols.append("".join(tok))
+            tok = []
+            continue
+        tok.append(ch)
+    if tok:
+        cols.append("".join(tok))
+    return [c.split(":")[0].strip() for c in cols if c.strip()]
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

@@ -287,7 +287,27 @@ def merge_schemas(schemas: Sequence[Schema], **opts) -> Schema:
         title=opts.get("title", title),
         description=opts.get("description", description),
         strict=opts.get("strict", strict),
-        post_validate=opts.get("post_validate"),
-        pre_validate=opts.get("pre_validate"),
+        # hooks: explicit opts win; otherwise last schema carrying one
+        # wins (same later-wins rule as fields) — constructing without
+        # them silently dropped every merged schema's hooks
+        post_validate=opts.get(
+            "post_validate",
+            next((s.config.post_validate for s in reversed(schemas) if s.config.post_validate), None),
+        ),
+        pre_validate=opts.get(
+            "pre_validate",
+            next((s.config.pre_validate for s in reversed(schemas) if s.config.pre_validate), None),
+        ),
     )
-    return Schema(dict(fields), cfg)
+    # stamp creation metadata exactly as define does (merged schemas
+    # must not emit x-sinter-version '0' / missing created_at)
+    from datetime import datetime, timezone
+
+    from . import __version__ as _pkg_version
+
+    meta = {
+        "sinter_version": _pkg_version,
+        "field_count": len(fields),
+        "created_at": datetime.now(timezone.utc).isoformat(),
+    }
+    return Schema(dict(fields), cfg, meta)

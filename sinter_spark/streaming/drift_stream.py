@@ -42,12 +42,10 @@ def windowed_histogram(
     the window end. lo/hi are required: a streaming job cannot pre-scan
     for bounds at all, so the batch path's explicit-bounds rule is a
     hard requirement here, not advice."""
+    from ..operators.drift import bin_expr
+
     c = F.col(col)
-    width = (float(hi) - float(lo)) / bins or 1.0
-    b = F.least(
-        F.greatest(F.floor((c.cast("double") - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
-        F.lit(bins - 1),
-    ).cast("int")
+    b = bin_expr(c, bins=bins, lo=float(lo), hi=float(hi))
     return (
         stream.withWatermark(event_time_col, delay)
         .where(c.isNotNull())

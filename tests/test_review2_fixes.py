@@ -201,3 +201,100 @@ class TestThirdReviewFixes:
         assert h.count() == 0  # all-null: no binned rows, but no crash
         h2 = histogram(df, "x", bins=4, lo=0.0, auto_range=True)
         assert h2.count() == 0
+
+
+class TestFourthReviewFixes:
+    def test_malformed_payloads_become_violations_not_crashes(self, spark):
+        import struct
+        import zlib
+
+        from sinter_spark.images import codecs, synth
+        from sinter_spark.images.kernel import decode_violations
+
+        bad_qjpg = b"QJPG" + struct.pack(">HHBB", 1, 1, 3, 8) + zlib.compress(b"\x00\x00\x00")
+        p = b"\x00\x01"
+        bad_png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(p)) + b"IHDR" + p
+            + struct.pack(">I", zlib.crc32(b"IHDR" + p) & 0xFFFFFFFF)
+        )
+        rows = [
+            ("q", bad_qjpg, 1, 1, "qjpg", "c", 0),
+            ("p", bad_png, 1, 1, "png", "c", 0),
+        ]
+        df = spark.createDataFrame(rows, synth.IMAGE_DDL)
+        got = {r["row_key"]: r["code"] for r in decode_violations(df).collect()}
+        assert got == {"q": "decode", "p": "decode"}  # job did not crash
+
+    def test_png_up_filter_on_first_row_decodes(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from sinter_spark.images import codecs
+
+        px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        # hand-build a PNG whose scanlines use filter 2 (Up) incl. row 0
+        raw = b""
+        prev = np.zeros((4, 3), dtype=np.int32)
+        for y in range(2):
+            raw += b"\x02" + ((px[y].astype(np.int32) - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = px[y].astype(np.int32)
+        def chunk(tag, payload):
+            return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+                ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+            )
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBB", 4, 2, 8, 2) + b"\x00\x00\x00")
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(codecs.decode("png", data), px)
+
+    def test_dim_mismatch_detected(self, spark):
+        from sinter_spark.images import codecs, synth
+        from sinter_spark.images.kernel import decode_violations
+
+        px = synth.render_reference("dimtest", 40, 30)
+        rows = [("dimtest", codecs.encode_raw(px), 32, 30, "raw", synth.expected_caption("dimtest"), synth.phash64(px))]
+        df = spark.createDataFrame(rows, synth.IMAGE_DDL)
+        got = [(tuple(r["path"]), r["code"]) for r in decode_violations(df).collect()]
+        assert (("w",), "dim_mismatch") in got
+        assert (("h",), "dim_mismatch") not in got
+
+    def test_scan_columns_sees_past_nested_types(self, spark, tmp_path):
+        from sinter_spark import plans
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(
+            [({"k": "v"}, b"\x00", 1)], "ctx map<string,string>, bytes binary, x bigint"
+        ).write.parquet(p)
+        df = spark.read.parquet(p).select("ctx", "bytes", "x")
+        df.count()
+        cols = plans.scan_columns(df)
+        assert "bytes" in cols and "x" in cols  # old regex lost both
+
+    def test_merged_schema_keeps_metadata_and_hooks(self):
+        from sinter_spark.schema import Schema, merge_schemas
+
+        hook = lambda d: True  # noqa: E731
+        a = Schema.define([("x", "integer")])
+        b = Schema.define([("y", "string")], post_validate=hook)
+        m = merge_schemas([a, b])
+        assert m.metadata.get("field_count") == 2
+        assert m.metadata.get("created_at")
+        assert m.config.post_validate is hook
+
+    def test_is_iso_datetime_rejects_date_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from sinter_spark import functions as SF
+
+        df = spark.range(1).select(
+            SF.is_iso_datetime(F.lit("2023-01-01")).alias("d"),
+            SF.is_iso_datetime(F.lit("2023-01-01T10:00:00Z")).alias("dt"),
+        )
+        r = df.collect()[0]
+        assert r["d"] is False and r["dt"] is True
