@@ -113,3 +113,24 @@ def test_sketch_merge_associativity():
     # estimate accuracy on 10k distinct
     est = sketch.estimate(both)
     assert abs(est - 10000) / 10000 < 0.05
+
+
+def test_chunk_loop_scans_source_exactly_twice(spark, img_df, tmp_path):
+    """The docstring's '≤2 source scans per chunk' claim, measured: an
+    accumulator counts every source row entering the pipeline; one
+    single-chunk run must read exactly 2× the table (violations pass +
+    metrics/HLL pass)."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = img_df.mapInPandas(counted, img_df.schema)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    run_checkpointed(src, _pass_fn, store, run_id="rscan", n_buckets=4, buckets_per_job=4)
+    n = img_df.count()
+    assert acc.value == 2 * n, f"expected {2*n} source rows read, saw {acc.value}"
