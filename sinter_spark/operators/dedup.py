@@ -174,14 +174,18 @@ def minhash_signatures_arrow(
     """(id, sig array<bigint>): vectorized-numpy MinHash over
     ``mapInArrow`` — the scale-path signature kernel.
 
-    Per Arrow batch: each doc's UTF-8 bytes become byte k-gram codes
-    (k ≤ 8, packed big-endian into uint64) via a zero-copy sliding
-    window, deduped with ``np.unique``, mixed with splitmix64, then
-    all ``n_hashes`` signatures come from one (S×1)·(1×H) affine
-    broadcast ``(h·aᵢ + bᵢ) mod 2⁶⁴`` and a single axis-min. No
-    per-row Python protocol, no JVM↔Python row loop — one numpy
-    call-chain per doc inside an Arrow batch (north_star: "vectorized
-    pandas/Arrow UDFs (no per-row Python)").
+    Per Arrow batch, BATCH-level vectorized (no per-doc Python loop at
+    all): the batch's strings are read straight from the Arrow
+    offsets/values buffers as one concatenated byte buffer + one
+    boundary array; every k-gram window position in the whole buffer
+    becomes a uint64 code (big-endian packed, k ≤ 8) with windows
+    crossing doc boundaries masked out; codes are mixed with
+    splitmix64 and each of the ``n_hashes`` affine transforms
+    ``(h·aᵢ + bᵢ) mod 2⁶⁴`` is min-reduced PER DOC in one segmented
+    ``np.minimum.reduceat`` (min over the shingle multiset ≡ min over
+    the set, so no dedup pass is needed). North_star: "vectorized
+    pandas/Arrow UDFs (no per-row Python)" — literally: the only
+    Python iteration is over Arrow batches and the 64 hash functions.
 
     Semantics vs :func:`minhash_signatures` (column impl): same
     banding/recall behavior, different (equally valid) hash family —
@@ -200,7 +204,6 @@ def minhash_signatures_arrow(
     if k > 8:
         raise ValueError("minhash_signatures_arrow: k must be ≤ 8 (bytes pack into uint64)")
     import numpy as np
-    import pyarrow as pa
 
     rng = np.random.Generator(np.random.PCG64(seed))
     A = (rng.integers(1, 2**63, size=n_hashes, dtype=np.uint64) | np.uint64(1)).copy()
@@ -209,6 +212,19 @@ def minhash_signatures_arrow(
     pruned = df.select(F.col(id_col), F.col(text_col))
     id_type = pruned.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, sig array<bigint>"
+
+    from ..plans import widen_small_scan
+
+    return widen_small_scan(pruned).mapInArrow(
+        _minhash_arrow_kernel(id_col, k=k, n_hashes=n_hashes, A=A, B=B), out_schema
+    )
+
+
+def _minhash_arrow_kernel(id_col: str, *, k: int, n_hashes: int, A, B):
+    """Factory for the batch-vectorized MinHash Arrow kernel (shared by
+    the batch path and streaming near-dup; benchable standalone)."""
+    import numpy as np
+    import pyarrow as pa
 
     def _kernel(batches):
         U64 = np.uint64
@@ -223,36 +239,64 @@ def minhash_signatures_arrow(
             return x ^ (x >> U64(31))
 
         with np.errstate(over="ignore"):
-            empty_sig = (splitmix64(np.array([0], dtype=U64))[0] * A + B).view(np.int64)
+            empty_sig = splitmix64(np.array([0], dtype=U64))[0] * A + B
         for batch in batches:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            keep, sigs = [], []
-            with np.errstate(over="ignore"):
-                for i, t in enumerate(texts):
-                    if t is None:
-                        continue
-                    keep.append(i)
-                    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                    if len(b) < k:
-                        sigs.append(empty_sig)
-                        continue
-                    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-                    codes = w[:, 0] << SHIFTS[0]
-                    for j in range(1, k):
-                        codes |= w[:, j] << SHIFTS[j]
-                    h = splitmix64(np.unique(codes))
-                    sigs.append((h[:, None] * A[None, :] + B[None, :]).min(axis=0).view(np.int64))
-            if not keep:
+            txt = batch.column(1)
+            keep = np.flatnonzero(txt.is_valid().to_numpy(zero_copy_only=False))
+            if keep.size == 0:
                 continue
+            # take() compacts to a null-free offset-0 array, so the
+            # offsets/values buffers read directly: the whole batch is
+            # ONE concatenated byte buffer + one boundary array — no
+            # per-doc Python loop, no str.encode
+            docs = txt.take(pa.array(keep, type=pa.int64()))
+            off_dtype = np.int64 if pa.types.is_large_string(docs.type) else np.int32
+            offs = np.frombuffer(docs.buffers()[1], dtype=off_dtype)[: len(docs) + 1].astype(np.int64)
+            data_buf = docs.buffers()[2]
+            vals = (
+                np.frombuffer(data_buf, dtype=np.uint8)[: offs[-1]]
+                if data_buf is not None and offs[-1]
+                else np.empty(0, dtype=np.uint8)
+            )
+            n = len(docs)
+            with np.errstate(over="ignore"):
+                total = int(offs[-1])
+                if total >= k:
+                    # all window positions, masked to windows that stay
+                    # inside a single doc (doc of p = searchsorted-1)
+                    p = np.arange(total - k + 1, dtype=np.int64)
+                    d = np.searchsorted(offs, p, side="right") - 1
+                    ok = p + k <= offs[d + 1]
+                    pv, dv = p[ok], d[ok]
+                    codes = vals[pv].astype(U64) << SHIFTS[0]
+                    for j in range(1, k):
+                        codes |= vals[pv + j].astype(U64) << SHIFTS[j]
+                    h = splitmix64(codes)
+                else:
+                    dv = np.empty(0, dtype=np.int64)
+                    h = np.empty(0, dtype=U64)
+                counts = np.bincount(dv, minlength=n)
+                has = counts > 0
+                sig = np.broadcast_to(empty_sig, (n, n_hashes)).copy()
+                if h.size:
+                    # min over the multiset == min over the set, so the
+                    # old np.unique dedup is unnecessary; segmented min
+                    # via reduceat (empty docs occupy zero length, so
+                    # consecutive present-doc starts delimit exactly)
+                    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[has]
+                    for i in range(n_hashes):
+                        sig[has, i] = np.minimum.reduceat(h * A[i] + B[i], seg_starts)
+            out = pa.ListArray.from_arrays(
+                np.arange(0, (n + 1) * n_hashes, n_hashes, dtype=np.int32),
+                pa.array(sig.reshape(-1).view(np.int64)),
+            )
             yield pa.RecordBatch.from_arrays(
-                [ids.take(pa.array(keep, type=pa.int32())), pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64()))],
+                [ids.take(pa.array(keep, type=pa.int64())), out],
                 names=[id_col, "sig"],
             )
 
-    from ..plans import widen_small_scan
-
-    return widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+    return _kernel
 
 
 def release_cache(pairs: DataFrame) -> None:
@@ -309,6 +353,36 @@ def oversized_buckets(
     )
 
 
+def _attach_drop_audit(pairs: DataFrame, audit: DataFrame | None) -> DataFrame:
+    pairs._sinter_dropped = audit  # see dropped_mass
+    return pairs
+
+
+def dropped_mass(pairs: DataFrame) -> dict:
+    """How much the mega-bucket cap dropped from a candidate-pair run:
+    ``{"n_buckets": ..., "n_member_entries": ...}``.
+
+    Every composed candidate path (:func:`minhash_lsh_candidates`,
+    :func:`hamming_block_pairs` — and through it ``simhash_near_pairs``
+    / ``image_near_dup_pairs`` — and ``similarity.rp_lsh_near_pairs``)
+    attaches its oversized-bucket audit view to the returned DataFrame;
+    this runs it. "No silent caps": a degenerate corpus (millions of
+    boilerplate copies in one bucket) loses LSH recall to the cap by
+    design (exact dedup owns those members) — this makes the loss a
+    reportable number instead of an invisible one. The audit is a
+    separate lazy plan (it re-derives the bucket table when invoked) so
+    the hot candidate path pays nothing for it.
+    """
+    audit = getattr(pairs, "_sinter_dropped", None)
+    if audit is None:
+        return {"n_buckets": 0, "n_member_entries": 0}
+    row = audit.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.coalesce(F.sum("n_members"), F.lit(0)).alias("nm"),
+    ).collect()[0]
+    return {"n_buckets": int(row["nb"]), "n_member_entries": int(row["nm"])}
+
+
 def minhash_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -361,14 +435,17 @@ def minhash_lsh_candidates(
 
     The bucket table is persisted before the self-join so the
     signature subtree is computed once, and buckets larger than
-    ``max_bucket`` are dropped (see :func:`_cap_buckets`).
+    ``max_bucket`` are dropped (see :func:`_cap_buckets`); the dropped
+    mass is reportable via :func:`dropped_mass` on the result.
     ``impl``: see :func:`minhash_buckets`.
     """
-    buckets = _cap_buckets(
-        minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl),
-        ["band", "bucket"],
-        max_bucket,
+    raw = minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl)
+    audit = (
+        oversized_buckets(raw, ["band", "bucket"], max_bucket)
+        if max_bucket is not None
+        else None
     )
+    buckets = _cap_buckets(raw, ["band", "bucket"], max_bucket)
     if cache:
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
@@ -379,6 +456,7 @@ def minhash_lsh_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    pairs = _attach_drop_audit(pairs, audit)
     return _attach_cache(pairs, buckets) if cache else pairs
 
 
@@ -450,7 +528,16 @@ def connected_components(
     at durable storage and swap to ``checkpoint``). Nodes with no
     pairs never enter the graph — singletons are the caller's rows
     minus these components.
+
+    Each round costs exactly ONE action: the previous round's label
+    rides along as ``_old`` and the convergence check is a filtered
+    count of the SAME (persisted) table — no separate new-vs-old join.
+    If ``max_iter`` rounds pass without a fixpoint the labels are
+    returned as-is with a ``RuntimeWarning`` (split components would
+    otherwise silently under-deduplicate downstream).
     """
+    import warnings
+
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -460,6 +547,8 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    prev_handle = None  # the persisted/checkpointed table of the previous round
+    changed = 0
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -470,6 +559,7 @@ def connected_components(
             labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
                     "component"
                 ),
@@ -479,16 +569,24 @@ def connected_components(
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # the ONE action per round: materializes new_labels into the
+        # persisted store AND reads the convergence signal from it
+        changed = new_labels.where(F.col("component") != F.col("_old")).count()
+        if prev_handle is not None:
+            prev_handle.unpersist()
+        prev_handle = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
+    else:
+        if changed > 0:
+            warnings.warn(
+                f"connected_components: no fixpoint after max_iter={max_iter} "
+                f"rounds ({changed} labels still changing) — components may be "
+                f"split; raise max_iter (graph diameter exceeds it)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     edges.unpersist()
     return labels
 
@@ -515,12 +613,19 @@ def near_dup_components(
     bands or the exact path."""
     if exact:
         pairs = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
-    else:
-        cand = minhash_lsh_candidates(df, id_col, text_col, k=k)
-        pairs = verify_jaccard_pairs(
-            df, cand, id_col, text_col, k=k, threshold=threshold
-        ).select("id_a", "id_b")
-    return connected_components(pairs, max_iter=max_iter)
+        return connected_components(pairs, max_iter=max_iter)
+    cand = minhash_lsh_candidates(df, id_col, text_col, k=k)
+    pairs = verify_jaccard_pairs(
+        df, cand, id_col, text_col, k=k, threshold=threshold
+    ).select("id_a", "id_b")
+    try:
+        # connected_components materializes the pair graph into its own
+        # persisted edge list in round 1, so the LSH bucket cache is
+        # dead weight afterwards — release it (it would otherwise leak
+        # one MEMORY_AND_DISK table per call for the session's life)
+        return connected_components(pairs, max_iter=max_iter)
+    finally:
+        release_cache(cand)
 
 
 def dedup_canonical(
@@ -603,15 +708,20 @@ def simhash_arrow(
     """(id, simhash bigint): vectorized-numpy SimHash over
     ``mapInArrow`` — the scale-path fingerprint kernel.
 
-    Per doc inside an Arrow batch, everything is numpy (no per-token
-    Python loop): the lowered UTF-8 bytes are segmented into tokens at
-    control/space bytes (≤ 0x20); each token's 64-bit polynomial hash
-    comes from one segmented cumsum trick — with P odd and Pinv its
-    inverse mod 2⁶⁴, ``h(token) = P^(e−1) · (S[e−1] − S[s−1])`` where
-    ``S = cumsum(byte · Pinv^pos)`` — finalized with splitmix64; bit
-    sums come from one ``unpackbits`` + axis-sum, fingerprint bit i is
-    set iff strictly more token hashes have bit i set than unset (the
-    same ±1-sum sign rule as :func:`simhash`).
+    BATCH-level vectorized (no per-doc Python loop): lowering is one
+    vectorized ``pc.utf8_lower`` (+ a U+0130 pre-replace for exact
+    ``str.lower()`` parity); the batch's lowered bytes are read from
+    the Arrow buffers as ONE concatenated buffer with a separator byte
+    inserted at each doc end, tokenized globally at control/space
+    bytes (≤ 0x20); every token's 64-bit polynomial hash comes from
+    one GLOBAL segmented cumsum — with P odd and Pinv its inverse mod
+    2⁶⁴, ``h(token) = P^(e−1) · (S[e−1] − S[s−1])`` where
+    ``S = cumsum(byte · Pinv^pos)`` telescopes to a value independent
+    of where the token sits in the buffer — finalized with splitmix64;
+    per-doc bit sums are one ``unpackbits`` over all token hashes +
+    segmented ``np.add.reduceat``; fingerprint bit i is set iff
+    strictly more token hashes have bit i set than unset (the same
+    ±1-sum sign rule as :func:`simhash`).
 
     Different (equally valid) hash family than :func:`simhash`'s
     xxhash64, so fingerprints are NOT value-identical to the column
@@ -623,14 +733,24 @@ def simhash_arrow(
 
     Plan shape: one narrow PythonMapInArrow — zero exchanges.
     """
-    import numpy as np
-    import pyarrow as pa
-
     pruned = df.select(F.col(id_col), F.col(text_col))
     id_type = pruned.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, simhash bigint"
 
+    from ..plans import widen_small_scan
+
+    return widen_small_scan(pruned).mapInArrow(_simhash_arrow_kernel(id_col), out_schema)
+
+
+def _simhash_arrow_kernel(id_col: str):
+    """Factory for the batch-vectorized SimHash Arrow kernel (shared by
+    the batch path and streaming near-dup; benchable standalone)."""
+    import numpy as np
+    import pyarrow as pa
+
     def _kernel(batches):
+        import pyarrow.compute as pc
+
         U64 = np.uint64
         P = U64(0x100000001B3)  # FNV prime, odd → invertible mod 2^64
         PINV = U64(pow(0x100000001B3, -1, 1 << 64))
@@ -646,47 +766,74 @@ def simhash_arrow(
 
         for batch in batches:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            keep, fps = [], []
+            txt = batch.column(1)
+            keep = np.flatnonzero(txt.is_valid().to_numpy(zero_copy_only=False))
+            if keep.size == 0:
+                continue
+            docs = txt.take(pa.array(keep, type=pa.int64()))
+            # vectorized exact-lower: utf8proc's utf8_lower matches
+            # Python str.lower() on every codepoint EXCEPT U+0130 'İ'
+            # (Python → 'i'+U+0307, utf8proc → 'i'; verified over the
+            # full codepoint range) — one replace pre-pass closes it
+            docs = pc.utf8_lower(pc.replace_substring(docs, "İ", "i̇"))
+            off_dtype = np.int64 if pa.types.is_large_string(docs.type) else np.int32
+            offs = np.frombuffer(docs.buffers()[1], dtype=off_dtype)[: len(docs) + 1].astype(np.int64)
+            data_buf = docs.buffers()[2]
+            raw = (
+                np.frombuffer(data_buf, dtype=np.uint8)[: offs[-1]]
+                if data_buf is not None and offs[-1]
+                else np.empty(0, dtype=np.uint8)
+            )
+            n = len(docs)
+            # ONE padded buffer for the whole batch: a separator byte at
+            # each doc end so no token run crosses a doc boundary; doc i
+            # then occupies [offs[i]+i, offs[i+1]+i)
+            padded = np.insert(raw, offs[1:], 0x20)
+            offs_adj = offs + np.arange(n + 1, dtype=np.int64)
             with np.errstate(over="ignore"):
-                for i, t in enumerate(texts):
-                    if t is None:
-                        continue
-                    b = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8)
-                    isword = b > 0x20
-                    if not isword.any():
-                        continue
-                    # token segment boundaries from mask transitions
-                    d = np.diff(isword.astype(np.int8))
-                    starts = np.flatnonzero(d == 1) + 1
-                    ends = np.flatnonzero(d == -1) + 1
-                    if isword[0]:
-                        starts = np.concatenate(([0], starts))
-                    if isword[-1]:
-                        ends = np.concatenate((ends, [len(b)]))
-                    # segmented polynomial hash via cumsum of byte·Pinv^pos
-                    pinv_pows = np.cumprod(np.full(len(b), PINV, dtype=U64)) * P  # Pinv^pos
-                    p_pows = np.cumprod(np.full(len(b), P, dtype=U64)) * PINV  # P^pos
-                    S = np.cumsum(b.astype(U64) * pinv_pows)
+                isword = padded > 0x20
+                dmask = np.diff(isword.astype(np.int8))
+                starts = np.flatnonzero(dmask == 1) + 1
+                ends = np.flatnonzero(dmask == -1) + 1
+                if isword.size and isword[0]:
+                    starts = np.concatenate(([0], starts))
+                if isword.size and isword[-1]:
+                    ends = np.concatenate((ends, [len(padded)]))
+                if starts.size:
+                    # segmented polynomial hash at GLOBAL positions: the
+                    # telescoping Σ b_j·PINV^j · P^(end−1) depends only on
+                    # the token's own bytes, so global ≡ per-doc values
+                    pinv_pows = np.cumprod(np.full(len(padded), PINV, dtype=U64)) * P
+                    p_pows = np.cumprod(np.full(len(padded), P, dtype=U64)) * PINV
+                    S = np.cumsum(padded.astype(U64) * pinv_pows)
                     seg = S[ends - 1] - np.where(starts > 0, S[starts - 1], U64(0))
                     h = splitmix64(seg * p_pows[ends - 1])
-                    # bit sums over all token hashes (multiset, like the column impl)
+                    tok_doc = np.searchsorted(offs_adj, starts, side="right") - 1
+                    counts = np.bincount(tok_doc, minlength=n)
+                    has = counts > 0
+                    # per-doc ±1 bit sums: unpackbits over ALL token
+                    # hashes at once + segmented add.reduceat
                     bits = np.unpackbits(
                         h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                    ).sum(axis=0)
-                    fp_bits = (2 * bits > len(h)).astype(U64)
-                    keep.append(i)
-                    fps.append(int((fp_bits << BITPOS).sum().view(np.int64)))
-            if not keep:
+                    )
+                    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[has]
+                    # reduceat straight off the uint8 bit matrix with an
+                    # int32 accumulator: ~2× cheaper than widening the
+                    # whole (tokens × 64) matrix to int64 first
+                    sums = np.add.reduceat(bits, seg_starts, axis=0, dtype=np.int32)
+                    fp_bits = (2 * sums > counts[has, None]).astype(U64)
+                    fps = (fp_bits << BITPOS[None, :]).sum(axis=1).view(np.int64)
+                else:
+                    has = np.zeros(n, dtype=bool)
+                    fps = np.empty(0, dtype=np.int64)
+            if not has.any():
                 continue
             yield pa.RecordBatch.from_arrays(
-                [ids.take(pa.array(keep, type=pa.int32())), pa.array(fps, type=pa.int64())],
+                [ids.take(pa.array(keep[has], type=pa.int64())), pa.array(fps)],
                 names=[id_col, "simhash"],
             )
 
-    from ..plans import widen_small_scan
-
-    return widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+    return _kernel
 
 
 def simhash_blocks(
@@ -787,7 +934,8 @@ def hamming_block_pairs(
     Scale notes: the bucket table is a narrow projection of the
     signature (computed once — persisted when ``cache``); buckets above
     ``max_bucket`` are dropped (:func:`_cap_buckets` — degenerate
-    fingerprint clusters are exact duplicates that exact dedup owns).
+    fingerprint clusters are exact duplicates that exact dedup owns;
+    the dropped mass is reportable via :func:`dropped_mass`).
     At extreme corpus sizes raise block_bits / switch to a wider
     fingerprint rather than lowering the cap: the key-space must stay
     ≫ corpus/max_bucket."""
@@ -801,11 +949,16 @@ def hamming_block_pairs(
             f"block recall guarantee needs max_hamming ≤ n_blocks-1 "
             f"(got {max_hamming} > {n_blocks - 1})"
         )
-    bt = _block_bucket_table(
+    raw = _block_bucket_table(
         sig_df, id_col, sig_col,
         n_blocks=n_blocks, block_bits=block_bits, pair_blocks=pair_blocks,
     )
-    bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
+    audit = (
+        oversized_buckets(raw, ["blk", "val"], max_bucket)
+        if max_bucket is not None
+        else None
+    )
+    bt = _cap_buckets(raw, ["blk", "val"], max_bucket)
     if cache:
         bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
     a = bt.alias("a")
@@ -821,6 +974,7 @@ def hamming_block_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    pairs = _attach_drop_audit(pairs, audit)
     return _attach_cache(pairs, bt) if cache else pairs
 
 

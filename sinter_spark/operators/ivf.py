@@ -52,22 +52,30 @@ def train_centroids(
     *,
     n_clusters: int = 16,
     sample_size: int = 20_000,
+    sample_fraction: float | None = None,
     n_iter: int = 20,
     seed: int = 7,
 ) -> np.ndarray:
     """Spherical k-means centroids (n_clusters × dim), trained on a
     bounded driver-side sample — the only driver-side step in the IVF
     build, and deliberately so: IVF training is sample-based by
-    construction; the full table never leaves the cluster."""
-    total = df.count()
-    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    rows = (
-        df.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .limit(sample_size)
-        .rdd.map(lambda r: r[0])
-        .collect()
-    )
+    construction; the full table never leaves the cluster.
+
+    The sample is the FIRST ``sample_size`` rows of a fixed-fraction
+    Bernoulli sample (``sample_fraction``; default 1.0 ≡ head-n) —
+    NO full-table ``count()`` to size a fraction (at 100 TB that count
+    is a full scan spent on metadata) and no RDD conversion: the
+    limited projection comes back through ``toPandas`` (Arrow path).
+    Set ``sample_fraction`` ≈ 1.2·sample_size/expected_rows when the
+    table's physical order is known to be skewed (e.g. partitioned by
+    language) so the head-n draw spans the table."""
+    rows_df = df.select(vec_col)
+    if sample_fraction is not None:
+        rows_df = rows_df.sample(fraction=sample_fraction, seed=seed)
+    rows = [
+        None if v is None else np.asarray(v)
+        for v in rows_df.limit(sample_size).toPandas()[vec_col]
+    ]
     # same clear error the assignment kernel raises for the same rows —
     # a null/ragged vector in the sample would otherwise surface as an
     # opaque numpy shape error here but a labeled one at assign time
@@ -119,18 +127,34 @@ def assign_clusters(
     names = [f.name for f in fields] + ["cluster_id"]
 
     def _kernel(batches):
+        import pyarrow.compute as pc
+
         for batch in batches:
-            raw = batch.column(vec_idx).to_pylist()
-            if not raw:
+            col = batch.column(vec_idx)
+            if len(col) == 0:
                 continue
             dim = cents.shape[1]
-            if any(v is None or len(v) != dim for v in raw):
+            # batch-vectorized list→matrix: validate lengths with one
+            # list_value_length pass, then reshape the flat values
+            # buffer — no to_pylist, no per-row Python
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if col.null_count or not np.all(lens == dim):
                 raise ValueError(
                     f"ivf.assign_clusters: null or wrong-dimension {vec_col} "
                     f"(expected array<float> of dim {dim}) — validate the "
                     "embedding column before indexing"
                 )
-            vecs = np.array(raw, dtype=np.float64)
+            flat = col.flatten()
+            if flat.null_count:
+                raise ValueError(
+                    f"ivf.assign_clusters: null element inside {vec_col} — "
+                    "validate the embedding column before indexing"
+                )
+            vecs = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(col), dim)
+            )
             sims = _normalize(vecs) @ cents.T
             cid = np.argmax(sims, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(

@@ -140,6 +140,8 @@ def rp_lsh_near_pairs(
     subtree computed once) and blocks larger than ``max_bucket`` are
     dropped — a degenerate embedding distribution (e.g. millions of
     zero vectors in one block) would otherwise make the join quadratic.
+    The dropped mass is reportable via ``dedup.dropped_mass`` on the
+    result (no silent caps).
     """
     sigs = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
     bits_per = n_planes // bands
@@ -157,6 +159,9 @@ def rp_lsh_near_pairs(
         )
     ).alias("bb")
     bt = sigs.select(id_col, blocks).select(id_col, F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    from .dedup import oversized_buckets
+
+    audit = oversized_buckets(bt, ["blk", "val"], max_bucket) if max_bucket is not None else None
     bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
     if cache:
         bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
@@ -179,8 +184,9 @@ def rp_lsh_near_pairs(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
-    if cache:
-        from .dedup import _attach_cache
+    from .dedup import _attach_cache, _attach_drop_audit
 
+    out = _attach_drop_audit(out, audit)
+    if cache:
         out = _attach_cache(out, bt)  # release via dedup.release_cache
     return out

@@ -147,7 +147,14 @@ def widen_small_scan(df: DataFrame, *, min_parallelism: int | None = None) -> Da
     Non-file plans (in-memory relations, join/agg outputs) have no
     file-index stats; for those the partition count comes from the
     plan's RDD handle — a planning-only conversion (no job), acceptable
-    off the file path where there is no cheaper source of truth."""
+    off the file path where there is no cheaper source of truth.
+
+    Streaming DataFrames are returned untouched: ``df.rdd`` raises on
+    them and a batch-style repartition is meaningless pre-trigger —
+    the no-op keeps the signature builders (minhash/simhash kernels)
+    usable on streams."""
+    if df.isStreaming:
+        return df
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     splits = estimated_scan_splits(df)
     if splits is None:

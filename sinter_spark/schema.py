@@ -287,17 +287,16 @@ def merge_schemas(schemas: Sequence[Schema], **opts) -> Schema:
         title=opts.get("title", title),
         description=opts.get("description", description),
         strict=opts.get("strict", strict),
-        # hooks: explicit opts win; otherwise last schema carrying one
-        # wins (same later-wins rule as fields) — constructing without
-        # them silently dropped every merged schema's hooks
+        # hooks, reference-exact (sinter.ex:584 merge_schema_configs):
+        # post_validate = FIRST schema carrying one (find_first_non_nil,
+        # forward order — unlike fields, where later wins); pre_validate
+        # is NOT merged at all in the reference (absent from the merged
+        # config). Explicit opts always win.
         post_validate=opts.get(
             "post_validate",
-            next((s.config.post_validate for s in reversed(schemas) if s.config.post_validate), None),
+            next((s.config.post_validate for s in schemas if s.config.post_validate), None),
         ),
-        pre_validate=opts.get(
-            "pre_validate",
-            next((s.config.pre_validate for s in reversed(schemas) if s.config.pre_validate), None),
-        ),
+        pre_validate=opts.get("pre_validate"),
     )
     # stamp creation metadata exactly as define does (merged schemas
     # must not emit x-sinter-version '0' / missing created_at)
