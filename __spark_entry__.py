@@ -160,6 +160,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.orderBy("vec_id").select("embedding").first()["embedding"]
         return similarity.cosine_topk(emb, list(qvec), k=10, round_to=5)
 
+    def q_batch_topk_cosine(spark, sf):
+        # batched ANN: top-k for a TABLE of queries in ONE corpus scan
+        # (broadcast query matrix × Arrow-batch matmul, per-batch
+        # pruned candidates, one final per-query top-k)
+        emb = _t(spark, sf, "embeddings")
+        qs = (
+            emb.orderBy("vec_id")
+            .limit(5)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        return similarity.cosine_topk_batch(emb, qs, k=10, round_to=5)
+
     def q_embedding_near_pairs(spark, sf):
         return similarity.cosine_self_pairs(
             _t(spark, sf, "embeddings"), threshold=0.9, round_to=5
@@ -281,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_docs": q_text_quality_docs,
         "langid_docs": q_langid_docs,
         "topk_cosine": q_topk_cosine,
+        "batch_topk_cosine": q_batch_topk_cosine,
         "embedding_near_pairs": q_embedding_near_pairs,
         "dup_salted": q_dup_salted,
         "psi_events_value": q_psi_events_value,
@@ -502,6 +515,17 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
              ORDER BY cos_sim DESC, vec_id
              LIMIT 10
+        """,
+        "batch_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                         FROM embeddings ORDER BY vec_id LIMIT 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                           q.qv), 5) AS cos_sim
+                         FROM embeddings e CROSS JOIN q),
+                 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rn FROM s)
+            SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 10
         """,
         "embedding_near_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -8,17 +8,17 @@ synthetic image table. ``queries`` carries per-query wall seconds over
 the driver testdata. Generation of the image table is input prep and
 excluded from timing (cached parquet under /tmp keyed by size/seed).
 
-Every measurement is the BEST OF 2 trials: this sandbox host is a
-shared VM (neighbor tenants hold 1-min load averages of 15-20 and the
-hypervisor steals up to ~3 cores in busy windows — measured via
-/proc/stat), so a single trial measures the neighbors as often as the
-engine. Min-of-2 on identical input is the standard
-contention-resistant estimator; per-trial walls go to stderr so a
-contended trial is visible, and ``steal_cores`` in the JSON records
-average hypervisor steal across the whole bench for auditability.
+Contention-proofing (benchlib.py — the round-2 official record
+understated the engine 2.3× by timing a neighbor burst): the bench
+waits for a quiet window, then every measurement is ≥3 trials, each
+with its own hypervisor-steal reading; if even the best trial was
+stolen-from above 0.1 cores it re-runs (bounded) after re-waiting for
+quiet. The JSON reports best AND median walls, per-trial
+(wall, steal) detail, and the steal on each REPORTED trial so an
+auditor can see the record measured the engine, not the neighbors.
 
 Usage: python bench.py            (JSON line to stdout)
-       python bench.py --images-n 100000
+       python bench.py --images-n 100000 --trials 3
 """
 
 from __future__ import annotations
@@ -31,6 +31,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from benchlib import measure, read_steal, wait_for_quiet
 
 HEADLINE = [
     "validate_events",
@@ -46,6 +48,7 @@ HEADLINE = [
     "minhash_lsh_docs",
     "simhash_docs",
     "topk_cosine",
+    "batch_topk_cosine",
 ]
 
 
@@ -73,6 +76,11 @@ def main() -> None:
     ap.add_argument("--images-n", type=int, default=int(os.environ.get("SPARK_GRAFT_IMAGES_N", "60000")))
     ap.add_argument("--skip-images", action="store_true")
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--steal-cap", type=float, default=0.1,
+                    help="re-run a measurement whose best trial saw more avg steal cores than this")
+    ap.add_argument("--quiet-load", type=float, default=6.0)
+    ap.add_argument("--quiet-timeout", type=float, default=600.0)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,30 +105,31 @@ def main() -> None:
     # the first headline query isn't charged the cold-start
     spark.range(1000).selectExpr("sum(id)").collect()
     qs["validate_events"](spark, sf_dir).limit(1).count()
-    def _steal() -> float:
-        try:
-            with open("/proc/stat") as f:
-                return int(f.readline().split()[8]) / os.sysconf("SC_CLK_TCK")
-        except Exception:
-            return 0.0
 
-    steal0, bench_t0 = _steal(), time.perf_counter()
+    load = wait_for_quiet(args.quiet_load, args.quiet_timeout)
+    print(f"# quiet window reached (load {load:.1f})", file=sys.stderr)
+    steal0, bench_t0 = read_steal(), time.perf_counter()
 
     per_query: dict[str, float] = {}
+    per_query_median: dict[str, float] = {}
+    trial_detail: dict[str, list] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        trials = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            trials.append(time.perf_counter() - t0)
-        dt = min(trials)
-        per_query[name] = round(dt, 3)
-        total += dt
+        m = measure(
+            lambda: fn(spark, sf_dir).count(),
+            trials=args.trials,
+            steal_cap=args.steal_cap,
+            quiet_load=args.quiet_load,
+            quiet_timeout=args.quiet_timeout,
+        )
+        per_query[name] = m["best"]
+        per_query_median[name] = m["median"]
+        trial_detail[name] = m["trials"]
+        total += m["best"]
         print(
-            f"# {name}: {dt:.3f}s ({n} rows; trials {[round(t, 3) for t in trials]})",
+            f"# {name}: {m['best']:.3f}s best (steal {m['best_steal']}) / "
+            f"{m['median']:.3f}s median ({m['result']} rows; trials {m['trials']})",
             file=sys.stderr,
         )
 
@@ -129,9 +138,12 @@ def main() -> None:
         "value": 0.0,
         "unit": "rows/sec",
         "queries": per_query,
+        "queries_median": per_query_median,
         "sf": sf,
         "headline_total_sec": round(total, 3),
         "cores": str(args.cores),
+        "trials": args.trials,
+        "trial_detail": trial_detail,
     }
 
     if not args.skip_images:
@@ -141,24 +153,30 @@ def main() -> None:
         # python workers / JIT / page cache (cold-start excluded, as a
         # long-running cluster job would be)
         run_image_suite(spark, df.sample(0.05, seed=1))
-        trials = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n_viol = run_image_suite(spark, df)
-            trials.append(time.perf_counter() - t0)
-        dt = min(trials)
-        result["value"] = round(n_rows / dt, 1)
+        m = measure(
+            lambda: run_image_suite(spark, df),
+            trials=args.trials,
+            steal_cap=args.steal_cap,
+            quiet_load=args.quiet_load,
+            quiet_timeout=args.quiet_timeout,
+        )
+        result["value"] = round(n_rows / m["best"], 1)
+        result["value_median"] = round(n_rows / m["median"], 1)
         result["images_n"] = n_rows
-        result["image_suite_sec"] = round(dt, 3)
-        result["image_violations"] = n_viol
+        result["image_suite_sec"] = m["best"]
+        result["image_suite_sec_median"] = m["median"]
+        result["image_suite_best_steal"] = m["best_steal"]
+        result["image_suite_trials"] = m["trials"]
+        result["image_violations"] = m["result"]
         print(
-            f"# image_suite: {dt:.3f}s ({n_rows} rows, {n_viol} violations; "
-            f"trials {[round(t, 3) for t in trials]})",
+            f"# image_suite: {m['best']:.3f}s best (steal {m['best_steal']}) / "
+            f"{m['median']:.3f}s median ({n_rows} rows, {m['result']} violations; "
+            f"trials {m['trials']})",
             file=sys.stderr,
         )
 
     wall = time.perf_counter() - bench_t0
-    result["steal_cores"] = round((_steal() - steal0) / wall, 2)
+    result["steal_cores"] = round((read_steal() - steal0) / wall, 2)
     print(json.dumps(result))
 
 

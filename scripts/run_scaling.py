@@ -35,7 +35,11 @@ import sys
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+from benchlib import read_steal as _read_steal  # noqa: E402  (shared with bench.py)
+from benchlib import wait_for_quiet as _wait_for_quiet  # noqa: E402
 
 
 def build_zip() -> str:
@@ -68,37 +72,11 @@ def ensure_images(n: int) -> str:
 def wait_for_quiet(
     threshold: float = 3.0, timeout: float = 900.0, steal_cap: float = 0.5
 ) -> float:
-    """Block until the 1-min load average drops below ``threshold``
-    (neighbor tenants idle AND the previous leg's load decayed — the
-    1-min average lags by ~a minute, so back-to-back legs otherwise
-    poison each other's 'load at start') AND the hypervisor steal rate
-    over a 5 s sample is below ``steal_cap`` cores (steal is invisible
-    to the load average; checking only load starts legs straight into
-    hypervisor contention). Returns the load seen."""
-    import time
-
-    t0 = time.time()
-    while time.time() - t0 < timeout:
-        load = os.getloadavg()[0]
-        if load <= threshold:
-            s0 = _read_steal()
-            time.sleep(5)
-            if (_read_steal() - s0) / 5.0 <= steal_cap:
-                return load
-        time.sleep(15)
-    return os.getloadavg()[0]
-
-
-def _read_steal() -> float:
-    """Cumulative hypervisor steal seconds from /proc/stat (field 8).
-    This box is a VM: neighbor VMs steal CPU at the hypervisor level,
-    INVISIBLE to the load average (observed: a 32-core leg taking 211 s
-    vs 59 s on identical input with 1-min load < 4 throughout — while
-    /proc/stat had accumulated ~68 min of steal). Steal during the leg
-    is the direct measurement of that contention."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    """Quiet-window gate — shared implementation in benchlib.py (the
+    1-min load must decay below ``threshold`` AND a 5 s steal sample
+    must stay below ``steal_cap`` cores; steal is invisible to the
+    load average). Returns the load seen."""
+    return _wait_for_quiet(threshold, timeout, steal_cap)
 
 
 def run_at(cores: int, zpath: str, images: str) -> dict:

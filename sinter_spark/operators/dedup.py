@@ -216,13 +216,22 @@ def minhash_signatures_arrow(
     from ..plans import widen_small_scan
 
     return widen_small_scan(pruned).mapInArrow(
-        _minhash_arrow_kernel(id_col, k=k, n_hashes=n_hashes, A=A, B=B), out_schema
+        _minhash_arrow_kernel([id_col], text_idx=1, k=k, n_hashes=n_hashes, A=A, B=B),
+        out_schema,
     )
 
 
-def _minhash_arrow_kernel(id_col: str, *, k: int, n_hashes: int, A, B):
+def _minhash_arrow_kernel(
+    pass_names: list[str], *, text_idx: int, k: int, n_hashes: int, A, B
+):
     """Factory for the batch-vectorized MinHash Arrow kernel (shared by
-    the batch path and streaming near-dup; benchable standalone)."""
+    the batch path and streaming near-dup; benchable standalone).
+
+    Input batches carry the text column at ``text_idx``; every other
+    column passes through (named by ``pass_names``, in batch order with
+    the text column skipped) and ``sig`` is appended — so the streaming
+    path can keep its event-time and text columns riding alongside the
+    signature without a join."""
     import numpy as np
     import pyarrow as pa
 
@@ -241,8 +250,8 @@ def _minhash_arrow_kernel(id_col: str, *, k: int, n_hashes: int, A, B):
         with np.errstate(over="ignore"):
             empty_sig = splitmix64(np.array([0], dtype=U64))[0] * A + B
         for batch in batches:
-            ids = batch.column(0)
-            txt = batch.column(1)
+            pass_cols = [c for i, c in enumerate(batch.columns) if i != text_idx]
+            txt = batch.column(text_idx)
             keep = np.flatnonzero(txt.is_valid().to_numpy(zero_copy_only=False))
             if keep.size == 0:
                 continue
@@ -291,9 +300,10 @@ def _minhash_arrow_kernel(id_col: str, *, k: int, n_hashes: int, A, B):
                 np.arange(0, (n + 1) * n_hashes, n_hashes, dtype=np.int32),
                 pa.array(sig.reshape(-1).view(np.int64)),
             )
+            idx = pa.array(keep, type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [ids.take(pa.array(keep, type=pa.int64())), out],
-                names=[id_col, "sig"],
+                [c.take(idx) for c in pass_cols] + [out],
+                names=list(pass_names) + ["sig"],
             )
 
     return _kernel
@@ -398,10 +408,19 @@ def minhash_buckets(
     ``impl``: "arrow" (default — vectorized numpy kernel) or "column"
     (pure built-in expressions); see module docstring for tradeoffs.
     Band hashing is always JVM-side (xxhash64 over sig slices)."""
-    rows = n_hashes // bands
     make_sig = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
     sig = make_sig(df, id_col, text_col, k=k, n_hashes=n_hashes)
-    bandcols = F.explode(
+    return sig.select(F.col(id_col), _band_explode(n_hashes, bands)).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _band_explode(n_hashes: int, bands: int) -> Column:
+    """Exploded (band, bucket) struct column over a ``sig`` array —
+    the banding expression shared by the batch bucket table and the
+    streaming near-dup path (JVM-side xxhash64 over sig slices)."""
+    rows = n_hashes // bands
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -412,9 +431,6 @@ def minhash_buckets(
             ]
         )
     ).alias("bb")
-    return sig.select(F.col(id_col), bandcols).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
 
 
 def minhash_lsh_candidates(

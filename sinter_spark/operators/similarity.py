@@ -59,6 +59,144 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int | None = 6,
+    impl: str = "arrow",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Top-k by cosine for a TABLE of queries at once:
+    (query_id, id, cos_sim), k rows per query, ties broken by id.
+
+    Offline training-data curation wants top-k against a reference
+    corpus for MANY queries (dedup against a golden set, retrieval
+    eval) — one job per query would scan the corpus Q times; this
+    scans it ONCE.
+
+    ``impl="arrow"`` (the scale path): the query matrix is collected
+    driver-side (bounded by ``max_queries`` — it ships to every task,
+    broadcast-sized by construction, same shape as IVF's centroid
+    matrix) and each Arrow batch computes ONE (batch × dim) ·
+    (dim × Q) matmul; per batch only rows that can still reach the
+    global top-k survive (batch-local kth minus a 2·10^-round_to
+    slack, so boundary ties are never lost to the pruning), then one
+    final per-query top-k. The only shuffle is the final candidate
+    aggregation — Q × k-ish rows per partition, not the corpus.
+
+    ``impl="column"``: pure built-in expressions — broadcast crossJoin
+    + :func:`cosine` + a ranking window. Same results; JVM-only path
+    kept as the oracle twin (SQL-expressible 1:1).
+    """
+    from pyspark.sql import Window
+
+    if impl == "column":
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qv"),
+            )
+        )
+        sim = cosine(F.col(vec_col), F.col("_qv"))
+        if round_to is not None:
+            sim = F.round(sim, round_to)
+        scored = df.crossJoin(q).select(
+            "query_id", F.col(id_col), sim.alias("cos_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    if impl != "arrow":
+        raise ValueError(f"cosine_topk_batch: unknown impl {impl!r}")
+
+    import pyarrow as pa
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_batch: more than max_queries={max_queries} query rows — "
+            "chunk the query table (each chunk's matrix must ship to every task)"
+        )
+    if not qrows:
+        raise ValueError("cosine_topk_batch: empty query table")
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([list(r["_qv"]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    slack = 2.0 * (10.0 ** -round_to) if round_to is not None else 0.0
+
+    pruned = df.select(F.col(id_col), F.col(vec_col))
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, _sim double"
+
+    def _kernel(batches):
+        import pyarrow.compute as pc
+
+        dim = qmat.shape[1]
+        qt = (qmat / qn[:, None]).T  # (dim × Q), pre-normalized
+        qid_arr = pa.array(qids)
+        for batch in batches:
+            col = batch.column(1)
+            if len(col) == 0:
+                continue
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if col.null_count or not np.all(lens == dim):
+                raise ValueError(
+                    f"cosine_topk_batch: null or wrong-dimension {vec_col} "
+                    f"(expected dim {dim}) — validate the embedding column first"
+                )
+            vecs = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(col), dim)
+            )
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms[:, None]) @ qt  # (batch × Q)
+            n = sims.shape[0]
+            if n > k:
+                kth = np.partition(sims, n - k, axis=0)[n - k]  # per-query kth largest
+                mask = sims >= (kth - slack)[None, :]
+            else:
+                mask = np.ones_like(sims, dtype=bool)
+            rows, qcols = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(qcols, type=pa.int64())),
+                    batch.column(0).take(pa.array(rows, type=pa.int64())),
+                    pa.array(sims[rows, qcols]),
+                ],
+                names=["query_id", id_col, "_sim"],
+            )
+
+    from ..plans import widen_small_scan
+
+    cand = widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+    sim = F.round(F.col("_sim"), round_to) if round_to is not None else F.col("_sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        cand.select("query_id", id_col, sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def cosine_self_pairs(
     df: DataFrame,
     *,

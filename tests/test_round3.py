@@ -167,6 +167,42 @@ class TestDroppedMassReporting:
         pairs = dedup.minhash_lsh_candidates(docs, max_bucket=None, cache=False)
         assert dedup.dropped_mass(pairs) == {"n_buckets": 0, "n_member_entries": 0}
 
+    def test_batch_topk_arrow_equals_column(self, spark, sf_dir):
+        """The pruned Arrow matmul path must return EXACTLY the rows of
+        the pure-Column (oracle-twin) path — including rounded boundary
+        ties, which the per-batch pruning slack must never lose."""
+        from sinter_spark.operators.similarity import cosine_topk_batch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+        qs = (
+            emb.orderBy("vec_id")
+            .limit(4)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        key = lambda r: (r["query_id"], r["vec_id"])  # noqa: E731
+        a = sorted(
+            cosine_topk_batch(emb, qs, k=7, round_to=5, impl="arrow").collect(), key=key
+        )
+        c = sorted(
+            cosine_topk_batch(emb, qs, k=7, round_to=5, impl="column").collect(), key=key
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in c]
+        assert len(a) == 4 * 7
+
+    def test_batch_topk_bounds(self, spark):
+        from sinter_spark.operators.similarity import cosine_topk_batch
+
+        rng = np.random.default_rng(5)
+        emb = spark.createDataFrame(
+            [(i, rng.standard_normal(4).tolist()) for i in range(20)],
+            "vec_id bigint, embedding array<double>",
+        )
+        qs = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        with pytest.raises(ValueError, match="max_queries"):
+            cosine_topk_batch(emb, qs, max_queries=5)
+        with pytest.raises(ValueError, match="empty"):
+            cosine_topk_batch(emb, qs.where("query_id < 0"))
+
     def test_rp_lsh_drop_reported(self, spark):
         from sinter_spark.operators.similarity import rp_lsh_near_pairs
 
