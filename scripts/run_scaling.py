@@ -138,6 +138,45 @@ def _burn(n: int) -> int:
     return x
 
 
+def _triad(n: int) -> float:
+    """One STREAM-triad-like pass over ~48 MB of float64 per call —
+    DRAM-bandwidth-bound, the memory-side complement of _burn."""
+    import numpy as np
+
+    m = 2_000_000
+    a = np.empty(m)
+    b = np.random.default_rng(1).standard_normal(m)
+    c = np.random.default_rng(2).standard_normal(m)
+    for _ in range(n):
+        np.multiply(b, 1.000001, out=a)
+        a += c
+    return float(a[0])
+
+
+def memory_ceiling(n_small: int, n_big: int, *, reps: int = 24) -> dict:
+    """Memory-bandwidth N-vs-4N scaling ratio: a multiprocessing
+    STREAM-triad burn. Data work (parquet scan + Arrow decode) is
+    bounded by THIS ceiling where pure-CPU work is not — on a VM whose
+    upper vCPUs share memory channels (or SMT siblings), 4× threads do
+    not get 4× bandwidth, and no data engine can scale past that."""
+    import multiprocessing as mp
+    import time
+
+    thr = {}
+    for procs in (n_small, n_big):
+        with mp.Pool(procs) as p:
+            p.map(_triad, [1] * procs)  # warm pool + allocators
+            t0 = time.time()
+            p.map(_triad, [reps] * procs)
+            wall = time.time() - t0
+        thr[procs] = procs * reps / wall
+    return {
+        "ceiling": round(thr[n_big] / thr[n_small] / (n_big / n_small), 3),
+        "small_passes_s": round(thr[n_small], 1),
+        "big_passes_s": round(thr[n_big], 1),
+    }
+
+
 def hardware_ceiling(n_small: int, n_big: int, *, n_ops: int = 40_000_000) -> dict:
     """Pure-integer-CPU N-vs-4N throughput ratio — the VM's *hardware*
     scaling ceiling for this core pair, measured at run time.
@@ -214,7 +253,12 @@ def run_pair(n_small: int, args, zpath: str, images: str) -> dict:
 
     wait_for_quiet(args.quiet_load, args.quiet_timeout)
     hw = hardware_ceiling(n_small, n_big)
-    print(f"# hardware ceiling (pure-CPU {n_small}->{n_big}): {hw['ceiling']}", flush=True)
+    mem = memory_ceiling(n_small, n_big)
+    print(
+        f"# hardware ceiling {n_small}->{n_big}: pure-CPU {hw['ceiling']}, "
+        f"memory-bandwidth {mem['ceiling']}",
+        flush=True,
+    )
     smalls, bigs = [], []
     for _ in range(args.trials):  # interleaved N,4N,N,4N…: both legs see similar noise
         smalls.append(clean_leg(n_small))
@@ -233,7 +277,15 @@ def run_pair(n_small: int, args, zpath: str, images: str) -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_median": round(eff_med, 3),
         "hardware_ceiling": hw,
+        "memory_ceiling": mem,
         "efficiency_vs_ceiling": round(eff / hw["ceiling"], 3) if hw["ceiling"] else None,
+        # the binding hardware constraint for DATA work is the weaker
+        # of the two calibrations (the suite is part CPU, part DRAM)
+        "efficiency_vs_binding_ceiling": round(
+            eff / min(hw["ceiling"], mem["ceiling"]), 3
+        )
+        if min(hw["ceiling"], mem["ceiling"])
+        else None,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -244,7 +296,16 @@ def run_pair(n_small: int, args, zpath: str, images: str) -> dict:
 def _pair_md(r: dict, images: str, trials: int) -> str:
     n_small, n_big = r["n_small"], r["n_big"]
     small, big, hw = r["small"], r["big"], r["hardware_ceiling"]
+    mem = r.get("memory_ceiling")
     eff = r["scaling_efficiency"]
+    mem_md = (
+        f"""a STREAM-triad memory-bandwidth burn scales at **{mem['ceiling']}**
+(the binding constraint for data work — parquet scan + Arrow decode
+move bytes, not just ALU ops); engine efficiency vs the binding
+(weaker) ceiling: **{r.get('efficiency_vs_binding_ceiling')}**."""
+        if mem
+        else ""
+    )
     return f"""## local[{n_small}] vs local[{n_big}]
 
 | parallelism | seconds (best) | rows/sec | foreign load peak | steal cores |
@@ -256,13 +317,13 @@ def _pair_md(r: dict, images: str, trials: int) -> str:
 {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"});
 median-trial estimate {r['scaling_efficiency_median']:.3f}.
 
-**Hardware ceiling for this pair, measured in the same session**: a
+**Hardware ceilings for this pair, measured in the same session**: a
 pure-integer-CPU multiprocessing burn (no memory traffic, no Spark, no
-steal) scales local[{n_small}]→local[{n_big}] at only
+steal) scales local[{n_small}]→local[{n_big}] at
 **{hw['ceiling']}** on this VM ({hw['small_mops']} → {hw['big_mops']}
 Mops/s) — the hypervisor does not deliver 4× the cycles past the
-VM's contended core budget. Engine efficiency relative to what the
-silicon offers: **{r['efficiency_vs_ceiling']}**.
+VM's contended core budget; {mem_md}
+Engine efficiency relative to the pure-CPU ceiling: **{r['efficiency_vs_ceiling']}**.
 
 All trials, interleaved N,4N,N,4N,… — each tuple is (seconds,
 peak same-VM foreign load during the leg, avg hypervisor steal cores

@@ -205,6 +205,131 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    round_to: int | None = 6,
+    assigned: bool = False,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF approximate top-k for a TABLE of queries in ONE scan:
+    (query_id, id, cos_sim), ≤ k rows per query.
+
+    The batched twin of :func:`ivf_topk` (VERDICT_r02 depth item —
+    offline curation wants top-k per *table* of queries): probe sets
+    are computed driver-side per query (Q × n_probe ints — metadata),
+    the scan is restricted to the UNION of probed clusters (against a
+    written index that stays a partition-pruned read), and each Arrow
+    batch computes one (batch × dim)·(dim × Q) matmul with
+    out-of-probe (row, query) sims masked out before the same
+    slack-pruned per-batch top-k as
+    ``similarity.cosine_topk_batch``. Final exact per-query top-k is
+    one Q×k-ish-row window.
+    """
+    import pyarrow as pa
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_qv")
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_batch: more than max_queries={max_queries} query rows — "
+            "chunk the query table"
+        )
+    if not qrows:
+        raise ValueError("ivf_topk_batch: empty query table")
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([list(r["_qv"]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    qunit = qmat / qn[:, None]
+    # per-query probe sets, as a (n_clusters × Q) bool membership mask
+    order = np.argsort(-(qunit @ cents.T), axis=1)[:, :n_probe]  # (Q × n_probe)
+    probe_mask = np.zeros((cents.shape[0], len(qids)), dtype=bool)
+    for qi, clusters in enumerate(order):
+        probe_mask[clusters, qi] = True
+    all_probes = sorted({int(c) for row in order for c in row})
+
+    base = df if assigned else assign_clusters(df, centroids, vec_col=vec_col)
+    base = base.where(F.col("cluster_id").isin(all_probes))  # partition-pruned on the index
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    slack = 2.0 * (10.0 ** -round_to) if round_to is not None else 0.0
+    pruned = base.select(F.col(id_col), F.col(vec_col), F.col("cluster_id"))
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, _sim double"
+
+    def _kernel(batches):
+        import pyarrow.compute as pc
+
+        dim = qmat.shape[1]
+        qt = qunit.T
+        qid_arr = pa.array(qids)
+        for batch in batches:
+            col = batch.column(1)
+            if len(col) == 0:
+                continue
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if col.null_count or not np.all(lens == dim):
+                raise ValueError(
+                    f"ivf_topk_batch: null or wrong-dimension {vec_col} "
+                    f"(expected dim {dim}) — validate the embedding column first"
+                )
+            vecs = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(col), dim)
+            )
+            cids = batch.column(2).to_numpy(zero_copy_only=False)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (vecs / norms[:, None]) @ qt  # (batch × Q)
+            sims = np.where(probe_mask[cids], sims, -np.inf)  # out-of-probe masked
+            n = sims.shape[0]
+            if n > k:
+                kth = np.partition(sims, n - k, axis=0)[n - k]
+                # a query with < k in-probe rows in this batch has a
+                # -inf kth: keep ALL its finite sims, not none
+                keep_thr = np.where(np.isfinite(kth), kth - slack, -np.inf)
+                mask = sims >= keep_thr[None, :]
+            else:
+                mask = np.isfinite(sims)
+            mask &= np.isfinite(sims)
+            rows, qcols = np.nonzero(mask)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(qcols, type=pa.int64())),
+                    batch.column(0).take(pa.array(rows, type=pa.int64())),
+                    pa.array(sims[rows, qcols]),
+                ],
+                names=["query_id", id_col, "_sim"],
+            )
+
+    from pyspark.sql import Window
+
+    from ..plans import widen_small_scan
+
+    cand = widen_small_scan(pruned).mapInArrow(_kernel, out_schema)
+    sim = F.round(F.col("_sim"), round_to) if round_to is not None else F.col("_sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        cand.select("query_id", id_col, sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: np.ndarray,

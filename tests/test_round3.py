@@ -203,6 +203,55 @@ class TestDroppedMassReporting:
         with pytest.raises(ValueError, match="empty"):
             cosine_topk_batch(emb, qs.where("query_id < 0"))
 
+    def test_batch_topk_plan_shape(self, spark, sf_dir):
+        """Scale hygiene: one MapInArrow matmul pass, candidates only
+        shuffle ONCE (the per-query window; the widen repartition fires
+        only on under-split test scans), and Catalyst adds its own
+        partial WindowGroupLimit so even the candidate shuffle is
+        map-side top-k-pruned."""
+        from sinter_spark.operators.similarity import cosine_topk_batch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = (
+            emb.orderBy("vec_id")
+            .limit(3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        plan = (
+            cosine_topk_batch(emb, qs, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 2
+        assert "MapInArrow" in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_ivf_topk_batch_equals_per_query_loop(self, spark, sf_dir):
+        """Batched IVF ANN ≡ one ivf_topk job per query (same probe
+        sets, same candidate restriction, same ranking)."""
+        from sinter_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(6)
+        cents = ivf.train_centroids(emb, n_clusters=8, seed=7)
+        qrows = emb.orderBy("vec_id").limit(3).collect()
+        qs = spark.createDataFrame(
+            [(r["vec_id"], list(r["embedding"])) for r in qrows],
+            "query_id bigint, embedding array<double>",
+        )
+        batch = ivf.ivf_topk_batch(emb, cents, qs, k=5, n_probe=3, round_to=5)
+        got = {
+            (r["query_id"], r["vec_id"], r["cos_sim"]) for r in batch.collect()
+        }
+        want = set()
+        for r in qrows:
+            one = ivf.ivf_topk(
+                emb, cents, [float(x) for x in r["embedding"]],
+                k=5, n_probe=3, round_to=5,
+            )
+            want |= {(r["vec_id"], x["vec_id"], x["cos_sim"]) for x in one.collect()}
+        assert got == want and len(got) == 15
+
     def test_rp_lsh_drop_reported(self, spark):
         from sinter_spark.operators.similarity import rp_lsh_near_pairs
 
