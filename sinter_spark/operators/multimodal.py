@@ -3,8 +3,10 @@
 Images/audio/video travel as ``binary`` columns with typed metadata
 (the image table's (bytes, w, h, fmt) is the pattern). The Spark-side
 plumbing — schema contracts, Arrow batch shape, partition sizing — is
-real and tested; heavyweight codec work beyond the built-in synthetic
-codecs (jpeg/mp3/mp4…) is STUBBED behind ``NotImplementedError`` or a
+real and tested. Decode is REAL for every builtin codec (raw/png/qjpg
+images via ``images/codecs.py``; ``rawvid`` video with indexed O(k)
+frame seek via ``images/video.py``); only external-library formats
+(jpeg/mp3/mp4…) are STUBBED behind ``NotImplementedError`` or a
 clearly-marked deterministic fake, because no imaging/audio libs ship
 in this container (SURVEY.md §7.0). Swapping a stub for Pillow/ffmpeg
 changes one function, not the plumbing.
@@ -186,7 +188,11 @@ def resize_images(
     return df.select(id_col, bytes_col, fmt_col).mapInPandas(run, RESIZE_DDL)
 
 
-FRAME_SAMPLE_DDL = "row_key string, frame_idx int, frame_digest string"
+FRAME_SAMPLE_DDL = (
+    "row_key string, frame_idx int, ok boolean, err string, "
+    "frame_w int, frame_h int, brightness double, phash64 bigint, "
+    "frame_digest string"
+)
 
 
 def sample_video_frames(
@@ -195,30 +201,87 @@ def sample_video_frames(
     *,
     id_col: str = "video_id",
     bytes_col: str = "bytes",
+    fmt_col: str | None = None,
 ) -> DataFrame:
-    """STUB video frame sampler: real Arrow plumbing + deterministic
-    fake frames (digest of payload slice per frame index). A real
-    implementation swaps the digest for an ffmpeg keyframe decode."""
+    """Video frame sampler: k uniformly-spread frames per clip with
+    per-frame features (dims, brightness, DCT pHash, digest).
+
+    REAL for the builtin ``rawvid`` container (``images/video.py``):
+    the frame INDEX lets the kernel decode ONLY the k sampled frames —
+    O(k) inflate work per clip regardless of clip length, the access
+    pattern an mp4 keyframe sampler has at scale. Non-builtin container
+    fmts (mp4/webm — no ffmpeg in this container, SURVEY §7.0) fall
+    back to the stub path: deterministic payload-slice digests with
+    ``ok=False, err='stub:<fmt>'``, preserving output shape so the
+    plumbing downstream is exercised either way. With ``fmt_col=None``
+    every row takes the stub path (legacy behavior).
+    """
+    from ..images.video import decode_rawvid_frame, probe_rawvid, sample_indices
+
+    cols = [id_col, bytes_col] + ([fmt_col] if fmt_col else [])
+    out_cols = [
+        "row_key", "frame_idx", "ok", "err", "frame_w",
+        "frame_h", "brightness", "phash64", "frame_digest",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for t in pdf.itertuples(index=False):
+                rk = getattr(t, id_col)
                 data = getattr(t, bytes_col)
+                fmt = getattr(t, fmt_col) if fmt_col else None
                 if data is None:
                     continue
                 b = bytes(data)
+                if fmt == "rawvid":
+                    try:
+                        meta = probe_rawvid(b)
+                        for i in sample_indices(meta["n_frames"], n_frames):
+                            px = decode_rawvid_frame(b, i)
+                            out.append(
+                                {
+                                    "row_key": rk, "frame_idx": i,
+                                    "ok": True, "err": None,
+                                    "frame_w": int(px.shape[1]),
+                                    "frame_h": int(px.shape[0]),
+                                    "brightness": float(px.mean()),
+                                    "phash64": dct_phash64(px),
+                                    "frame_digest": hashlib.md5(px.tobytes()).hexdigest(),
+                                }
+                            )
+                    except codecs.DecodeError as e:
+                        out.append(
+                            {
+                                "row_key": rk, "frame_idx": 0,
+                                "ok": False, "err": str(e),
+                                "frame_w": None, "frame_h": None,
+                                "brightness": None, "phash64": None,
+                                "frame_digest": None,
+                            }
+                        )
+                    continue
+                # stub path: unknown container (or no fmt column)
                 step = max(len(b) // n_frames, 1)
                 for i in range(n_frames):
                     chunk = b[i * step : (i + 1) * step]
                     out.append(
                         {
-                            "row_key": getattr(t, id_col),
-                            "frame_idx": i,
+                            "row_key": rk, "frame_idx": i,
+                            "ok": False,
+                            "err": f"stub:{fmt}" if fmt else "stub:unknown",
+                            "frame_w": None, "frame_h": None,
+                            "brightness": None, "phash64": None,
                             "frame_digest": hashlib.md5(chunk).hexdigest(),
                         }
                     )
             if out:
-                yield pd.DataFrame(out)
+                pdf_out = pd.DataFrame(out, columns=out_cols)
+                # int64 phash through pandas: nullable Int64 from the
+                # raw ints BEFORE any float coercion can eat low bits
+                pdf_out["phash64"] = pd.array(
+                    [r["phash64"] for r in out], dtype="Int64"
+                )
+                yield pdf_out
 
-    return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SAMPLE_DDL)
+    return df.select(*cols).mapInPandas(run, FRAME_SAMPLE_DDL)
