@@ -171,7 +171,16 @@ def decode_qjpg(data: bytes) -> np.ndarray:
 
 ENCODERS = {"raw": encode_raw, "png": encode_png, "qjpg": encode_qjpg}
 DECODERS = {"raw": decode_raw, "png": decode_png, "qjpg": decode_qjpg}
-LOSSY_FMTS = frozenset({"qjpg"})
+LOSSY_FMTS = frozenset({"qjpg", "jpeg"})
+
+# real baseline JPEG (ITU T.81) lives in jpeg.py; registered here so the
+# decode dispatch, image suite, and fuzz gates pick it up uniformly.
+# (jpeg.py imports DecodeError from this module — defined above, so the
+# tail import is cycle-safe.)
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+ENCODERS["jpeg"] = encode_jpeg
+DECODERS["jpeg"] = decode_jpeg
 
 
 def decode(fmt: str, data: bytes) -> np.ndarray:

@@ -18,13 +18,19 @@ from hypothesis import strategies as st
 
 from sinter_spark.images import codecs
 
-FMTS = ["raw", "png", "qjpg"]
+FMTS = ["raw", "png", "qjpg", "jpeg"]
 
 
 def _valid_payload(fmt: str, seed: int = 7) -> bytes:
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
-    return {"raw": codecs.encode_raw, "png": codecs.encode_png, "qjpg": codecs.encode_qjpg}[fmt](arr)
+    encoders = {
+        "raw": codecs.encode_raw,
+        "png": codecs.encode_png,
+        "qjpg": codecs.encode_qjpg,
+        "jpeg": codecs.ENCODERS["jpeg"],
+    }
+    return encoders[fmt](arr)
 
 
 def _assert_contained(fmt: str, data: bytes):
