@@ -235,6 +235,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = generate_images(spark, 2000, seed=42, max_dim=32, partitions=8)
         return decode_image_features(df)
 
+    def q_audio_features(spark, sf):
+        # REAL WAV decode + spectral features over a deterministic
+        # synthetic clip table (no audio table in the oracle views →
+        # rows-only check; feature values pinned in tests/test_audio.py)
+        import pandas as pd
+
+        from sinter_spark.operators.audio import decode_audio_features, synth_audio
+
+        rows = [
+            {
+                "audio_id": f"clip-{i}",
+                "bytes": synth_audio(0.25, 8000, freq=200.0 + 40.0 * i, seed=i),
+                "fmt": "wav" if i % 5 else "mp3",  # every 5th: stub path
+            }
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows), "audio_id string, bytes binary, fmt string"
+        )
+        return decode_audio_features(df)
+
+    def q_video_frames(spark, sf):
+        # REAL rawvid frame sampling (indexed O(k) seek) over synthetic
+        # clips → rows-only check; stream pinned in tests/test_video.py
+        import pandas as pd
+
+        from sinter_spark.images.video import synth_video
+        from sinter_spark.operators.multimodal import sample_video_frames
+
+        rows = [
+            {
+                "video_id": f"vid-{i}",
+                "bytes": synth_video(8 + i % 9, 32, 24, seed=i),
+                "fmt": "rawvid" if i % 7 else "mp4",  # every 7th: stub path
+            }
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows), "video_id string, bytes binary, fmt string"
+        )
+        return sample_video_frames(df, n_frames=4, fmt_col="fmt")
+
     def q_infer_events_schema(spark, sf):
         # schema inference census (sinter.ex:368-399 semantics over a
         # DataFrame): per-column inferred type + required (null ratio)
@@ -300,6 +342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_lsh_near_pairs": q_rp_lsh_near_pairs,
         "ivf_topk_cosine": q_ivf_topk_cosine,
         "image_decode_features": q_image_decode_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "image_suite_violations": q_image_suite_violations,
         "image_near_dup": q_image_near_dup,
         "infer_events_schema": q_infer_events_schema,
