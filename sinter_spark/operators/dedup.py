@@ -607,6 +607,117 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, component) via alternating LARGE-STAR / SMALL-STAR rounds
+    — O(log n) rounds on ANY graph shape (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public method).
+
+    :func:`connected_components` (min-label propagation) needs
+    O(diameter) rounds — ideal for near-dup quasi-cliques (diameter
+    2-3), pathological for chain-shaped graphs (a 10⁶-node path needs
+    10⁶ rounds). This is the documented upgrade for such graphs:
+
+    * **large-star**: every node u links its LARGER neighbors to
+      ``m(u) = min(Γ(u) ∪ {u})`` — one groupBy(min) + one join on the
+      same key (co-partitioned, no extra exchange);
+    * **small-star**: orient edges high→low; every node links its
+      smaller neighbors (and itself) to its minimum neighbor.
+
+    Both halves strictly reduce the potential function and their joint
+    fixpoint is a star forest whose centers are the component minima —
+    the same (node, component) contract as the label-prop operator
+    (equality pinned in tests). One action per round (the canonical
+    edge-set change count); same persist/localCheckpoint lineage
+    hygiene as label-prop; ``RuntimeWarning`` on max_iter exhaustion.
+    """
+    import warnings
+
+    e0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    # canonical undirected form (lo, hi), deduped
+    canon = (
+        e0.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_handle = canon
+    changed = -1
+    for it in range(max_iter):
+        sym = canon.select(F.col("lo").alias("s"), F.col("hi").alias("d")).union(
+            canon.select(F.col("hi").alias("s"), F.col("lo").alias("d"))
+        )
+        # large-star: larger neighbors of u → m(u) = min(Γ⁺(u))
+        m = sym.groupBy("s").agg(F.min("d").alias("_mn")).select(
+            "s", F.least("s", "_mn").alias("m")
+        )
+        ls = (
+            sym.where(F.col("d") > F.col("s"))
+            .join(m, "s")
+            .select(F.col("m").alias("lo"), F.col("d").alias("hi"))
+        )
+        # small-star on the large-star output: orient hi→lo
+        o = (
+            ls.where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        mn = o.groupBy("hi").agg(F.min("lo").alias("_mn"))
+        ss = (
+            o.join(mn, "hi")
+            .select(F.col("_mn").alias("lo"), F.col("lo").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .union(mn.select(F.col("_mn").alias("lo"), F.col("hi")))
+        )
+        new_canon = (
+            ss.select(
+                F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_canon = new_canon.localCheckpoint()
+        else:
+            new_canon = new_canon.persist(StorageLevel.MEMORY_AND_DISK)
+        # SYMMETRIC difference in one action: additions-only or
+        # removals-only rounds are both real changes, not fixpoints
+        changed = (
+            new_canon.exceptAll(canon).unionAll(canon.exceptAll(new_canon)).count()
+        )
+        prev_handle.unpersist()
+        prev_handle = new_canon
+        canon = new_canon
+        if changed == 0:
+            break
+    else:
+        if changed != 0:
+            warnings.warn(
+                f"connected_components_star: no fixpoint after max_iter={max_iter} "
+                f"rounds ({changed} edges still changing) — raise max_iter",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    # star forest: every hi hangs off its component-min lo; centers are
+    # the los that never appear as a hi
+    members = canon.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    centers = (
+        canon.select("lo")
+        .distinct()
+        .join(canon.select(F.col("hi").alias("lo")).distinct(), "lo", "left_anti")
+        .select(F.col("lo").alias("node"), F.col("lo").alias("component"))
+    )
+    return members.unionByName(centers)
+
+
 def near_dup_components(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -616,8 +727,14 @@ def near_dup_components(
     threshold: float = 0.5,
     exact: bool = False,
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(node, component) clusters of near-duplicate docs.
+
+    ``algorithm``: "label" (min-label propagation — O(diameter) rounds,
+    ideal for the quasi-clique graphs near-dup pairs form) or "star"
+    (:func:`connected_components_star` — O(log n) rounds on any shape,
+    the choice when the pair graph might be chain-like).
 
     ``exact=True`` builds the pair graph from exact n-gram Jaccard
     (the oracle path — SQL-expressible, quadratic per shared shingle);
@@ -627,9 +744,12 @@ def near_dup_components(
     paths. Recall on the LSH path is still governed by the banding
     curve (~J ≳ 0.5 at 64×16); thresholds far below 0.5 need more
     bands or the exact path."""
+    cc = {"label": connected_components, "star": connected_components_star}.get(algorithm)
+    if cc is None:
+        raise ValueError(f"near_dup_components: unknown algorithm {algorithm!r}")
     if exact:
         pairs = jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
-        return connected_components(pairs, max_iter=max_iter)
+        return cc(pairs, max_iter=max_iter)
     cand = minhash_lsh_candidates(df, id_col, text_col, k=k)
     pairs = verify_jaccard_pairs(
         df, cand, id_col, text_col, k=k, threshold=threshold
@@ -639,7 +759,7 @@ def near_dup_components(
         # persisted edge list in round 1, so the LSH bucket cache is
         # dead weight afterwards — release it (it would otherwise leak
         # one MEMORY_AND_DISK table per call for the session's life)
-        return connected_components(pairs, max_iter=max_iter)
+        return cc(pairs, max_iter=max_iter)
     finally:
         release_cache(cand)
 

@@ -104,6 +104,58 @@ class TestCacheAndComponents:
         assert got == {i: 1 for i in range(1, 7)}
 
 
+class TestStarComponents:
+    def _labels(self, df):
+        return {r["node"]: r["component"] for r in df.collect()}
+
+    def test_star_equals_label_prop_on_mixed_graph(self, spark):
+        rng = np.random.default_rng(17)
+        # mixed shape: two cliques + a chain + singleton pairs
+        edges = (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]
+            + [(10 + i, 10 + j) for i in range(4) for j in range(i + 1, 4)]
+            + [(20 + i, 21 + i) for i in range(12)]
+            + [(50, 51), (60, 61)]
+            + [(int(a), int(b)) for a, b in rng.integers(100, 140, size=(30, 2)) if a != b]
+        )
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        star = self._labels(dedup.connected_components_star(pairs))
+        prop = self._labels(dedup.connected_components(pairs, max_iter=50))
+        assert star == prop
+
+    def test_star_converges_on_long_chain_where_label_prop_cannot(self, spark):
+        """A 64-node path: label propagation needs ~63 rounds; the
+        star rounds need O(log n) — the documented scale upgrade."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a bigint, id_b bigint"
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)  # no-fixpoint would raise
+            labels = self._labels(
+                dedup.connected_components_star(pairs, max_iter=12)
+            )
+        assert labels == {i: 0 for i in range(65)}
+
+    def test_star_round_count_is_logarithmic(self, spark, monkeypatch):
+        calls = {"n": 0}
+        orig = DataFrame.count
+
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        monkeypatch.setattr(DataFrame, "count", counting)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(128)], "id_a bigint, id_b bigint"
+        )
+        dedup.connected_components_star(pairs, max_iter=15)
+        n_actions = calls["n"]
+        monkeypatch.undo()
+        assert n_actions <= 10  # one count per round; ~log2(128)+fixpoint
+
+
 class TestStreamingWiden:
     def test_widen_small_scan_noop_on_stream(self, spark):
         from sinter_spark.plans import widen_small_scan
