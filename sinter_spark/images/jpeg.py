@@ -489,6 +489,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise DecodeError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a partial-component scan means a non-interleaved
+                # multi-scan file: decoding only the first scan would
+                # silently return a wrong image — refuse instead
+                raise DecodeError(
+                    "jpeg: unsupported non-interleaved multi-scan file "
+                    f"(scan has {ns} of {len(frame['comps'])} components)"
+                )
             scomps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
