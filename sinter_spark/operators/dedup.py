@@ -715,7 +715,20 @@ def connected_components_star(
         .join(canon.select(F.col("hi").alias("lo")).distinct(), "lo", "left_anti")
         .select(F.col("lo").alias("node"), F.col("lo").alias("component"))
     )
-    return members.unionByName(centers)
+    labels = members.unionByName(centers)
+    # contract parity with connected_components: a self-pair (a, a)
+    # contributes a singleton component there (the symmetric edge list
+    # keeps self-loops); the star rounds drop self-loops, so re-admit
+    # any node that ONLY appeared in self-pairs
+    selfnodes = (
+        pairs.where(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    singletons = selfnodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.unionByName(singletons)
 
 
 def near_dup_components(

@@ -123,6 +123,14 @@ class TestStarComponents:
         prop = self._labels(dedup.connected_components(pairs, max_iter=50))
         assert star == prop
 
+    def test_star_self_pairs_match_label_prop_singletons(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (7, 7), (9, 9)], "id_a bigint, id_b bigint"
+        )
+        star = self._labels(dedup.connected_components_star(pairs))
+        prop = self._labels(dedup.connected_components(pairs))
+        assert star == prop == {1: 1, 2: 1, 7: 7, 9: 9}
+
     def test_star_converges_on_long_chain_where_label_prop_cannot(self, spark):
         """A 64-node path: label propagation needs ~63 rounds; the
         star rounds need O(log n) — the documented scale upgrade."""
