@@ -72,9 +72,11 @@ def measure(
 ) -> dict:
     """Contention-gated repeated measurement of ``fn``.
 
-    Runs ``trials`` trials; while the BEST (min-wall) trial's steal
-    exceeds ``steal_cap`` cores, waits for a quiet window and runs up
-    to ``max_extra`` more. Returns::
+    Runs ``trials`` trials; while NO trial is clean (every trial's
+    steal exceeds ``steal_cap`` cores), waits for a quiet window and
+    runs up to ``max_extra`` more — the goal is at least one clean
+    trial to report, matching the fastest-CLEAN-trial selection below.
+    Returns::
 
         {"best": wall, "best_steal": ..., "median": wall,
          "median_steal": ..., "trials": [[wall, steal], ...],

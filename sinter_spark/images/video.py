@@ -66,6 +66,10 @@ def probe_rawvid(data: bytes) -> dict:
         raise DecodeError("rawvid: bad magic")
     if ver != 1:
         raise DecodeError(f"rawvid: unsupported version {ver}")
+    if w < 1 or h < 1:
+        raise DecodeError(f"rawvid: bad dimensions {w}x{h}")
+    if c != 3:
+        raise DecodeError(f"rawvid: unsupported channel count {c}")
     if len(data) < _HDR.size + n * _IDX.size:
         raise DecodeError("rawvid: truncated index")
     return {"n_frames": n, "w": w, "h": h, "channels": c}

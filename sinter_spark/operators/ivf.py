@@ -61,20 +61,43 @@ def train_centroids(
     build, and deliberately so: IVF training is sample-based by
     construction; the full table never leaves the cluster.
 
-    The sample is the FIRST ``sample_size`` rows of a fixed-fraction
-    Bernoulli sample (``sample_fraction``; default 1.0 ≡ head-n) —
+    The default sample is a PER-PARTITION HEAD: every partition of the
+    scan contributes up to ``ceil(sample_size / n_partitions)`` rows
+    (one narrow ``mapInArrow`` pass that stops reading each partition
+    after its quota), so the draw spans the whole table even when its
+    physical order is clustered (partitioned by language/date) —
     NO full-table ``count()`` to size a fraction (at 100 TB that count
-    is a full scan spent on metadata) and no RDD conversion: the
-    limited projection comes back through ``toPandas`` (Arrow path).
-    Set ``sample_fraction`` ≈ 1.2·sample_size/expected_rows when the
-    table's physical order is known to be skewed (e.g. partitioned by
-    language) so the head-n draw spans the table."""
+    is a full scan spent on metadata) and no per-row Python: the
+    bounded projection comes back through ``toPandas`` (Arrow path).
+    Pass ``sample_fraction`` to use a Bernoulli row sample instead
+    (first ``sample_size`` rows of the sampled stream) when per-row
+    randomness matters more than spanning coverage."""
+    import pyarrow as pa  # noqa: F401 — mapInArrow batches are pyarrow
+
     rows_df = df.select(vec_col)
     if sample_fraction is not None:
-        rows_df = rows_df.sample(fraction=sample_fraction, seed=seed)
+        rows_df = rows_df.sample(fraction=sample_fraction, seed=seed).limit(
+            sample_size
+        )
+    else:
+        nparts = max(rows_df.rdd.getNumPartitions(), 1)
+        quota = max(-(-sample_size // nparts), 1)
+        ddl = f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}"
+
+        def _per_partition_head(batches):
+            taken = 0
+            for batch in batches:
+                if taken >= quota:
+                    return
+                if batch.num_rows > quota - taken:
+                    batch = batch.slice(0, quota - taken)
+                taken += batch.num_rows
+                yield batch
+
+        rows_df = rows_df.mapInArrow(_per_partition_head, ddl)
     rows = [
         None if v is None else np.asarray(v)
-        for v in rows_df.limit(sample_size).toPandas()[vec_col]
+        for v in rows_df.toPandas()[vec_col]
     ]
     # same clear error the assignment kernel raises for the same rows —
     # a null/ragged vector in the sample would otherwise surface as an

@@ -250,11 +250,16 @@ def sample_video_frames(
                                     "frame_digest": hashlib.md5(px.tobytes()).hexdigest(),
                                 }
                             )
-                    except codecs.DecodeError as e:
+                    # blanket wrapper (mirrors codecs.decode): a crafted
+                    # header that slips past probe validation must land
+                    # as an ok=False row, never fail the whole task
+                    except Exception as e:  # noqa: BLE001 — containment contract
                         out.append(
                             {
                                 "row_key": rk, "frame_idx": 0,
-                                "ok": False, "err": str(e),
+                                "ok": False,
+                                "err": str(e) if isinstance(e, codecs.DecodeError)
+                                else f"decode crash: {type(e).__name__}: {e}",
                                 "frame_w": None, "frame_h": None,
                                 "brightness": None, "phash64": None,
                                 "frame_digest": None,
