@@ -107,11 +107,20 @@ class TestRoundtrip:
 
 
 class TestUnsupportedAndMalformed:
-    def test_progressive_sof_rejected_cleanly(self):
+    def test_sequential_masquerading_as_progressive_rejected(self):
+        # a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan —
+        # illegal in progressive (DC scans need Se=0) → clean reject
         data = bytearray(jpeg.encode_jpeg(smooth_img(16, 16)))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # masquerade as progressive
-        with pytest.raises(codecs.DecodeError, match="non-baseline"):
+        with pytest.raises(codecs.DecodeError, match="progressive scan header"):
+            jpeg.decode_jpeg(bytes(data))
+
+    def test_lossless_sof_rejected_cleanly(self):
+        data = bytearray(jpeg.encode_jpeg(smooth_img(16, 16)))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC3  # lossless sequential
+        with pytest.raises(codecs.DecodeError, match="unsupported"):
             jpeg.decode_jpeg(bytes(data))
 
     def test_missing_soi(self):
@@ -143,7 +152,9 @@ def _imageio_decode(spark, data: bytes) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def _imageio_encode(spark, img: np.ndarray, quality: float = 0.9) -> bytes:
+def _imageio_encode(
+    spark, img: np.ndarray, quality: float = 0.9, progressive: bool = False
+) -> bytes:
     jvm = spark._jvm
     h, w = img.shape[:2]
     bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
@@ -161,6 +172,8 @@ def _imageio_encode(spark, img: np.ndarray, quality: float = 0.9) -> bytes:
     params = writer.getDefaultWriteParam()
     params.setCompressionMode(2)  # MODE_EXPLICIT
     params.setCompressionQuality(float(quality))
+    if progressive:
+        params.setProgressiveMode(1)  # MODE_DEFAULT: writer's scan script
     bos = jvm.java.io.ByteArrayOutputStream()
     writer.setOutput(jvm.javax.imageio.ImageIO.createImageOutputStream(bos))
     writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), params)
@@ -247,3 +260,127 @@ class TestInteropWithImageIO:
         data = jpeg.encode_jpeg(img, quality=88, restart_interval=2)
         theirs = _imageio_decode(spark, data)
         assert codecs.psnr(jpeg.decode_jpeg(data), theirs) >= 40.0
+
+
+# --- progressive (SOF2) decode — round-4 coverage item --------------------
+
+
+class TestProgressive:
+    """Progressive streams come from the JVM's INDEPENDENT encoder
+    (javax.imageio progressive mode writes a real multi-scan SOF2
+    script with successive approximation), so agreement here validates
+    the T.81 §G.1.2 decode paths against a second implementation."""
+
+    def test_imageio_progressive_color_decodes(self, spark):
+        img = smooth_img(40, 56, seed=31)
+        data = _imageio_encode(spark, img, quality=0.92, progressive=True)
+        assert b"\xff\xc2" in data[:200]  # really SOF2
+        ours = jpeg.decode_jpeg(data)
+        theirs = _imageio_decode(spark, data)
+        assert ours.shape == img.shape
+        # chroma upsample FILTER is decoder's choice (nearest vs
+        # triangle) — same looser floor as the baseline 420 interop
+        assert codecs.psnr(ours, theirs) >= 29.0
+        assert codecs.psnr(img, ours) >= 26.0
+
+    def test_imageio_progressive_gray_near_exact(self, spark):
+        g = smooth_img(32, 32, seed=5)[:, :, 0]
+        data = _imageio_encode(spark, np.dstack([g, g, g]), quality=0.92, progressive=True)
+        ours = jpeg.decode_jpeg(data)
+        theirs = _imageio_decode(spark, data)
+        # single-luma-dominated scene, no upsample ambiguity: the two
+        # decoders should agree to IDCT rounding
+        assert codecs.psnr(ours, theirs) >= 50.0
+
+    def test_progressive_equals_baseline_scene(self, spark):
+        """Progressive and baseline encodings of the SAME image must
+        decode to (nearly) the same pixels — the multi-scan
+        coefficient accumulation reconstructs the full-precision
+        spectrum, not a preview."""
+        img = smooth_img(48, 48, seed=33)
+        prog = jpeg.decode_jpeg(_imageio_encode(spark, img, 0.95, progressive=True))
+        base = jpeg.decode_jpeg(_imageio_encode(spark, img, 0.95, progressive=False))
+        assert codecs.psnr(prog, base) >= 30.0
+
+    def test_progressive_truncations_contained(self, spark):
+        data = _imageio_encode(spark, smooth_img(24, 24, seed=34), 0.9, progressive=True)
+        for cut in range(0, len(data), max(len(data) // 53, 1)):
+            try:
+                jpeg.decode_jpeg(data[:cut])
+            except codecs.DecodeError:
+                pass
+
+    def test_progressive_bitflips_contained(self, spark):
+        data = bytearray(_imageio_encode(spark, smooth_img(24, 24, seed=35), 0.9, progressive=True))
+        rng = np.random.default_rng(9)
+        for _ in range(60):
+            mut = bytearray(data)
+            i = int(rng.integers(2, len(mut)))
+            mut[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = jpeg.decode_jpeg(bytes(mut))
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except codecs.DecodeError:
+                pass
+
+
+class TestCKernelDifferential:
+    """The optional C entropy kernel must be bit-identical to the
+    pure-Python loop on every stream shape (it shares LUT packing and
+    exhaustion contract by construction — this pins it)."""
+
+    @pytest.fixture()
+    def c_available(self):
+        from sinter_spark.images import _jpegc
+
+        if not _jpegc.available():
+            pytest.skip("no C compiler in this environment")
+
+    def _both(self, data, monkeypatch):
+        out_c = jpeg.decode_jpeg(data)
+        monkeypatch.setenv("SINTER_JPEG_NO_C", "1")
+        out_py = jpeg.decode_jpeg(data)
+        monkeypatch.delenv("SINTER_JPEG_NO_C")
+        return out_c, out_py
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            {"quality": 88},
+            {"quality": 88, "subsampling": "420"},
+            {"quality": 30},
+            {"quality": 95, "restart_interval": 2},
+        ],
+    )
+    def test_sequential_identical(self, c_available, monkeypatch, kwargs):
+        img = smooth_img(41, 53, seed=sum(map(ord, str(kwargs))))
+        out_c, out_py = self._both(jpeg.encode_jpeg(img, **kwargs), monkeypatch)
+        assert np.array_equal(out_c, out_py)
+
+    def test_gray_identical(self, c_available, monkeypatch):
+        g = smooth_img(32, 24, seed=40)[:, :, 0]
+        out_c, out_py = self._both(jpeg.encode_jpeg(g, quality=85), monkeypatch)
+        assert np.array_equal(out_c, out_py)
+
+    def test_progressive_identical(self, c_available, monkeypatch, spark):
+        data = _imageio_encode(spark, smooth_img(40, 40, seed=41), 0.9, progressive=True)
+        out_c, out_py = self._both(data, monkeypatch)
+        assert np.array_equal(out_c, out_py)
+
+    def test_truncation_errors_identical(self, c_available, monkeypatch):
+        data = jpeg.encode_jpeg(smooth_img(32, 32, seed=42), quality=90)
+        for cut in range(len(data) - 200, len(data), 7):
+            res_c = res_py = err_c = err_py = None
+            try:
+                res_c = jpeg.decode_jpeg(data[:cut])
+            except codecs.DecodeError as e:
+                err_c = str(e)
+            monkeypatch.setenv("SINTER_JPEG_NO_C", "1")
+            try:
+                res_py = jpeg.decode_jpeg(data[:cut])
+            except codecs.DecodeError as e:
+                err_py = str(e)
+            monkeypatch.delenv("SINTER_JPEG_NO_C")
+            assert (err_c is None) == (err_py is None)
+            if res_c is not None:
+                assert np.array_equal(res_c, res_py)
