@@ -113,3 +113,52 @@ class TestIvfDefaultSampleSpansTable:
         )
         cents = train_centroids(df, n_clusters=4, sample_size=64, seed=1)
         assert cents.shape == (4, 2)
+
+
+class TestJpegFmtMix:
+    """VERDICT_r03 #1a: jpeg rows in the MEASURED synthetic mix."""
+
+    def test_default_mix_unchanged(self):
+        """The default draw must reproduce the original raw/png/qjpg
+        thresholds bit-for-bit (cached fixtures stay valid)."""
+        from sinter_spark.images.synth import DEFAULT_FMT_MIX, make_row, _digest
+        import numpy as np
+
+        for i in range(120):
+            row = make_row(7, i)
+            # recompute the original single-threshold fmt draw
+            rng = np.random.Generator(np.random.PCG64(
+                int.from_bytes(_digest("row", "7", str(i))[:8], "big")))
+            from sinter_spark.images.synth import RATES
+            for _ in RATES:
+                rng.random()
+            rng.uniform(np.log(16), np.log(64)); rng.uniform(np.log(16), np.log(64))
+            r = rng.random()
+            want = "raw" if r < 0.85 else ("png" if r < 0.97 else "qjpg")
+            injected_gif = row["fmt"] == "gif"
+            if not injected_gif:
+                assert row["fmt"] == want, i
+        assert [m[0] for m in DEFAULT_FMT_MIX] == ["raw", "png", "qjpg"]
+
+    def test_jpeg_mix_share_and_clean_rows_pass_suite(self, spark):
+        from sinter_spark.images import fmt_dim, validate_images_full
+        from sinter_spark.images.synth import JPEG_FMT_MIX, generate_images
+
+        df = generate_images(spark, 400, seed=11, fmt_mix=JPEG_FMT_MIX).cache()
+        counts = dict(
+            (r["fmt"], r["count"])
+            for r in df.groupBy("fmt").count().collect()
+        )
+        assert 0.30 <= counts.get("jpeg", 0) / 400 <= 0.50  # ~40% share
+        res = validate_images_full(df, fmt_dim(spark))
+        viols = res.violations.collect()
+        # injected violation rate is ~1%; clean jpeg rows must NOT be
+        # flagged (q98 clears the 40 dB lossy floor)
+        assert len({v["row_key"] for v in viols}) <= 0.05 * 400
+        jpeg_ids = {r["image_id"] for r in df.where("fmt = 'jpeg'").collect()}
+        jpeg_viols = [v for v in viols if v["row_key"] in jpeg_ids]
+        # any jpeg violations must be injected kinds (corrupt payloads,
+        # tampered phash/dims/caption), not systematic psnr failures
+        for v in jpeg_viols:
+            assert v["code"] != "psnr" or "decode" in (v["observed"] or ""), v
+        df.unpersist()
