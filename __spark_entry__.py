@@ -227,55 +227,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf.ivf_topk(emb, cents, q, k=10, n_probe=4)
 
     def q_image_decode_features(spark, sf):
-        # image ops run on the deterministic synthetic table (no image
-        # table in the oracle views → rows-only check)
-        from sinter_spark.images import generate_images
+        # ORACLED (round 4): decode features over the deterministic
+        # media fixture; DuckDB compares against generation-time ground
+        # truth (sinter_spark.media_fixtures) — Spark does the
+        # distributed decode, the oracle only checks it. Float features
+        # are floored to milli-units on BOTH sides for exact hashing.
+        import pandas as pd
+
+        from sinter_spark.media_fixtures import image_payload_rows
         from sinter_spark.operators.multimodal import decode_image_features
 
-        df = generate_images(spark, 2000, seed=42, max_dim=32, partitions=8)
-        return decode_image_features(df)
+        rows = [(k, d, f) for (k, d, f, _w, _h) in image_payload_rows()]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]),
+            "image_id string, bytes binary, fmt string",
+        ).repartition(8)
+        feats = decode_image_features(df)
+        return feats.select(
+            "row_key",
+            "ok",
+            F.col("dec_w").cast("long").alias("dec_w"),
+            F.col("dec_h").cast("long").alias("dec_h"),
+            F.floor(F.col("brightness") * 1000).cast("long").alias("bright_milli"),
+            F.col("phash64"),
+        ).orderBy("row_key")
 
     def q_audio_features(spark, sf):
-        # REAL WAV decode + spectral features over a deterministic
-        # synthetic clip table (no audio table in the oracle views →
-        # rows-only check; feature values pinned in tests/test_audio.py)
+        # ORACLED (round 4): REAL WAV decode + spectral features over
+        # the deterministic clip fixture; ground truth computed from
+        # the quantized PCM WITHOUT the RIFF parser (decoder-
+        # independent), compared exactly via floored milli/micro units.
         import pandas as pd
 
-        from sinter_spark.operators.audio import decode_audio_features, synth_audio
+        from sinter_spark.media_fixtures import audio_payload_rows
+        from sinter_spark.operators.audio import decode_audio_features
 
-        rows = [
-            {
-                "audio_id": f"clip-{i}",
-                "bytes": synth_audio(0.25, 8000, freq=200.0 + 40.0 * i, seed=i),
-                "fmt": "wav" if i % 5 else "mp3",  # every 5th: stub path
-            }
-            for i in range(50)
-        ]
         df = spark.createDataFrame(
-            pd.DataFrame(rows), "audio_id string, bytes binary, fmt string"
+            pd.DataFrame(audio_payload_rows(), columns=["audio_id", "bytes", "fmt"]),
+            "audio_id string, bytes binary, fmt string",
         )
-        return decode_audio_features(df)
+        feats = decode_audio_features(df)
+        return feats.select(
+            "row_key",
+            "ok",
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.col("n_samples").cast("long").alias("n_samples"),
+            F.floor(F.col("duration_s") * 1000).cast("long").alias("dur_milli"),
+            F.col("channels").cast("long").alias("channels"),
+            F.floor(F.col("rms") * 1000000.0).cast("long").alias("rms_micro"),
+            F.floor(F.col("peak") * 1000000.0).cast("long").alias("peak_micro"),
+            F.floor(F.col("zero_crossing_rate") * 1000000.0).cast("long").alias("zcr_micro"),
+            F.floor(F.col("spectral_centroid_hz") * 1000).cast("long").alias("centroid_milli"),
+        ).orderBy("row_key")
 
     def q_video_frames(spark, sf):
-        # REAL rawvid frame sampling (indexed O(k) seek) over synthetic
-        # clips → rows-only check; stream pinned in tests/test_video.py
+        # ORACLED (round 4): REAL rawvid frame sampling (indexed O(k)
+        # seek); ground truth computed from the SOURCE frames, never
+        # touching the decoder (rawvid is lossless), stub rows mirror
+        # the kernel's deterministic payload-slice digests.
         import pandas as pd
 
-        from sinter_spark.images.video import synth_video
+        from sinter_spark.media_fixtures import VIDEO_SAMPLE_K, video_payload_rows
         from sinter_spark.operators.multimodal import sample_video_frames
 
-        rows = [
-            {
-                "video_id": f"vid-{i}",
-                "bytes": synth_video(8 + i % 9, 32, 24, seed=i),
-                "fmt": "rawvid" if i % 7 else "mp4",  # every 7th: stub path
-            }
-            for i in range(40)
-        ]
         df = spark.createDataFrame(
-            pd.DataFrame(rows), "video_id string, bytes binary, fmt string"
+            pd.DataFrame(video_payload_rows(), columns=["video_id", "bytes", "fmt"]),
+            "video_id string, bytes binary, fmt string",
         )
-        return sample_video_frames(df, n_frames=4, fmt_col="fmt")
+        fr = sample_video_frames(df, n_frames=VIDEO_SAMPLE_K, fmt_col="fmt")
+        return fr.select(
+            "row_key",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "ok",
+            F.col("frame_w").cast("long").alias("frame_w"),
+            F.col("frame_h").cast("long").alias("frame_h"),
+            F.floor(F.col("brightness") * 1000).cast("long").alias("bright_milli"),
+            F.col("phash64"),
+            F.col("frame_digest"),
+        ).orderBy("row_key", "frame_idx")
 
     def q_infer_events_schema(spark, sf):
         # schema inference census (sinter.ex:368-399 semantics over a
@@ -362,7 +391,20 @@ def oracle_sql() -> dict[str, str]:
          FROM lineitem"""
         for c in _LI_COLS
     )
-    return {
+    # media ground-truth oracles (round 4): literal VALUES tables of
+    # generation-time expectations — DuckDB compares, Spark decodes
+    from sinter_spark.media_fixtures import (
+        audio_oracle_sql,
+        image_oracle_sql,
+        video_oracle_sql,
+    )
+
+    media_oracles = {
+        "image_decode_features": image_oracle_sql(),
+        "audio_features": audio_oracle_sql(),
+        "video_frames": video_oracle_sql(),
+    }
+    return media_oracles | {
         "validate_events": f"""
             SELECT CAST(event_id AS VARCHAR) AS row_key, 'event_type' AS path,
                    'choices' AS code, '{choices_msg}' AS message

@@ -110,12 +110,15 @@ def sample_indices(n_frames: int, k: int) -> list[int]:
     return sorted({round(i * (n_frames - 1) / (k - 1)) for i in range(k)})
 
 
-def synth_video(
+def synth_video_frames(
     n_frames: int = 16, w: int = 32, h: int = 24, *, seed: int = 7
-) -> bytes:
-    """Deterministic synthetic clip: a bright block orbiting a noisy
-    background (adjacent frames near-identical, distant frames not —
-    gives frame features realistic temporal structure)."""
+) -> np.ndarray:
+    """Deterministic synthetic clip SOURCE frames (n, h, w, 3): a
+    bright block orbiting a noisy background (adjacent frames
+    near-identical, distant frames not — gives frame features
+    realistic temporal structure). Exposed separately from the encoded
+    container so ground-truth expectations can be computed from the
+    source pixels, independent of the decoder."""
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 64, size=(h, w, 3), dtype=np.uint8)
     frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
@@ -125,4 +128,11 @@ def synth_video(
         cy = int((np.sin(2 * np.pi * i / n_frames) * 0.4 + 0.5) * (h - 8))
         f[cy : cy + 8, cx : cx + 8] = [230, 180 + (i * 4) % 64, 40]
         frames[i] = f
-    return encode_rawvid(frames)
+    return frames
+
+
+def synth_video(
+    n_frames: int = 16, w: int = 32, h: int = 24, *, seed: int = 7
+) -> bytes:
+    """Encoded ``rawvid`` container of :func:`synth_video_frames`."""
+    return encode_rawvid(synth_video_frames(n_frames, w, h, seed=seed))

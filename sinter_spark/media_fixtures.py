@@ -1,0 +1,250 @@
+"""Deterministic media fixtures with GENERATION-TIME ground truth —
+the oracle bridge for the media queries (VERDICT_r03 #5).
+
+The driver's correctness gate runs each Spark query next to an ANSI-SQL
+oracle in DuckDB. Decode isn't SQL-expressible, but the fixtures here
+are pure functions of a seed, so each payload's true features are
+knowable WITHOUT the decoder:
+
+* video: expectations come straight from the SOURCE frames
+  (``synth_video_frames``) — fully decoder-independent, since the
+  ``rawvid`` container is lossless;
+* audio: expectations come from the int16-quantized PCM the WAV
+  payload carries — decoder-independent (the RIFF parser never runs);
+* images: lossless fmts (raw/png) take expectations from the REFERENCE
+  RENDER (decoder-independent); lossy fmts (qjpg/jpeg) and corrupted
+  payloads are deterministic too, but their truth necessarily comes
+  from one decode at expectation-build time (flagged per-row via
+  ``fmt``; the decoders themselves are pinned by codec unit tests and
+  the javax.imageio interop suite).
+
+DuckDB then literally compares: the oracle SQL is a VALUES table of
+these expectations, and the driver hashes Spark-vs-oracle rows. All
+float features are floored to integer milli/micro units ON BOTH SIDES
+(same float64 input, same multiply, same floor) so the hash compare is
+exact. Spark does the distributed decode; DuckDB only checks it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .images import codecs
+from .images.perceptual import dct_phash64
+from .images.synth import _encode_payload, render_reference
+from .images.video import sample_indices, synth_video_frames
+from .operators.audio import synth_audio
+
+# --- shared helpers ----------------------------------------------------------
+
+
+def _milli(x: float) -> int:
+    return int(np.floor(np.float64(x) * 1000.0))
+
+
+def _micro(x: float) -> int:
+    return int(np.floor(np.float64(x) * 1_000_000.0))
+
+
+def values_sql(rows: list[tuple], cols: list[tuple[str, str]], order_by: list[str]) -> str:
+    """ANSI-SQL literal table: SELECT casted columns FROM (VALUES ...).
+
+    ``cols`` is [(name, sql_type), ...]; None values become NULL and
+    every column is cast so DuckDB's VALUES inference can't drift from
+    the Spark schema."""
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    names = [n for n, _t in cols]
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    vals = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT {casts} FROM (VALUES\n{vals}\n) AS t({', '.join(names)}) "
+        f"ORDER BY {', '.join(order_by)}"
+    )
+
+
+# --- images ------------------------------------------------------------------
+
+IMAGE_FIXTURE_N = 300
+IMAGE_COLS = [
+    ("row_key", "VARCHAR"), ("ok", "BOOLEAN"), ("dec_w", "BIGINT"),
+    ("dec_h", "BIGINT"), ("bright_milli", "BIGINT"), ("phash64", "BIGINT"),
+]
+
+
+def image_payload_rows() -> list[tuple[str, bytes, str, int, int]]:
+    """(row_key, bytes, fmt, w, h): fmts cycle raw/png/qjpg/jpeg;
+    every 25th payload is corrupted mid-stream (flip 16 bytes)."""
+    rows = []
+    for i in range(IMAGE_FIXTURE_N):
+        key = f"img-{i:04d}"
+        w, h = 16 + (i * 7) % 33, 16 + (i * 11) % 29
+        px = render_reference(key, w, h)
+        fmt = ("raw", "png", "qjpg", "jpeg")[i % 4]
+        data = _encode_payload(fmt, px)
+        if i % 25 == 24:
+            b = bytearray(data)
+            k = len(b) // 2
+            for j in range(k, min(k + 16, len(b))):
+                b[j] ^= 0xFF
+            data = bytes(b)
+        rows.append((key, data, fmt, w, h))
+    return rows
+
+
+def image_expected_rows() -> list[tuple]:
+    """Ground truth per payload row (IMAGE_COLS order). Lossless clean
+    rows derive from the render and are ASSERTED equal to the decode —
+    a built-in decoder self-check every time the oracle is built."""
+    out = []
+    for (key, data, fmt, w, h) in image_payload_rows():
+        corrupt = int(key[4:]) % 25 == 24
+        try:
+            px = codecs.decode(fmt, data)
+        except codecs.DecodeError:
+            out.append((key, False, None, None, None, None))
+            continue
+        if fmt in ("raw", "png") and not corrupt:
+            ref = render_reference(key, w, h)
+            if not np.array_equal(px, ref):  # pragma: no cover
+                raise AssertionError(f"lossless decode != render for {key}")
+        means = px.reshape(-1, 3).mean(axis=0)
+        out.append(
+            (key, True, int(px.shape[1]), int(px.shape[0]),
+             _milli(float(means.mean())), dct_phash64(px))
+        )
+    return out
+
+
+def image_oracle_sql() -> str:
+    return values_sql(image_expected_rows(), IMAGE_COLS, ["row_key"])
+
+
+# --- video -------------------------------------------------------------------
+
+VIDEO_FIXTURE_N = 40
+VIDEO_SAMPLE_K = 4
+VIDEO_COLS = [
+    ("row_key", "VARCHAR"), ("frame_idx", "BIGINT"), ("ok", "BOOLEAN"),
+    ("frame_w", "BIGINT"), ("frame_h", "BIGINT"), ("bright_milli", "BIGINT"),
+    ("phash64", "BIGINT"), ("frame_digest", "VARCHAR"),
+]
+
+
+def _video_params(i: int) -> tuple[int, int, int, str]:
+    return 8 + i % 9, 32, 24, ("rawvid" if i % 7 else "mp4")
+
+
+def video_payload_rows() -> list[tuple[str, bytes, str]]:
+    """(row_key, bytes, fmt): rawvid clips + every 7th an mp4 stub."""
+    from .images.video import encode_rawvid
+
+    rows = []
+    for i in range(VIDEO_FIXTURE_N):
+        n, w, h, fmt = _video_params(i)
+        rows.append((f"vid-{i:03d}", encode_rawvid(synth_video_frames(n, w, h, seed=i)), fmt))
+    return rows
+
+
+def video_expected_rows() -> list[tuple]:
+    """Ground truth from SOURCE frames (decoder never runs): sampled
+    frame dims, floor-milli brightness, DCT pHash, md5 digest. Stub
+    fmts mirror the kernel's deterministic payload-slice digests."""
+    from .images.video import encode_rawvid
+
+    out = []
+    for i in range(VIDEO_FIXTURE_N):
+        n, w, h, fmt = _video_params(i)
+        key = f"vid-{i:03d}"
+        frames = synth_video_frames(n, w, h, seed=i)
+        if fmt == "rawvid":
+            for idx in sample_indices(n, VIDEO_SAMPLE_K):
+                px = frames[idx]
+                out.append(
+                    (key, idx, True, w, h, _milli(float(px.mean())),
+                     dct_phash64(px), hashlib.md5(px.tobytes()).hexdigest())
+                )
+        else:  # stub path: digests of payload slices, ok=False
+            b = encode_rawvid(frames)
+            step = max(len(b) // VIDEO_SAMPLE_K, 1)
+            for j in range(VIDEO_SAMPLE_K):
+                chunk = b[j * step : (j + 1) * step]
+                out.append(
+                    (key, j, False, None, None, None, None,
+                     hashlib.md5(chunk).hexdigest())
+                )
+    return out
+
+
+def video_oracle_sql() -> str:
+    return values_sql(video_expected_rows(), VIDEO_COLS, ["row_key", "frame_idx"])
+
+
+# --- audio -------------------------------------------------------------------
+
+AUDIO_FIXTURE_N = 50
+AUDIO_COLS = [
+    ("row_key", "VARCHAR"), ("ok", "BOOLEAN"), ("sample_rate", "BIGINT"),
+    ("n_samples", "BIGINT"), ("dur_milli", "BIGINT"), ("channels", "BIGINT"),
+    ("rms_micro", "BIGINT"), ("peak_micro", "BIGINT"),
+    ("zcr_micro", "BIGINT"), ("centroid_milli", "BIGINT"),
+]
+
+
+def _audio_params(i: int) -> tuple[float, int, float, str]:
+    return 0.25, 8000, 200.0 + 40.0 * i, ("wav" if i % 5 else "mp3")
+
+
+def audio_payload_rows() -> list[tuple[str, bytes, str]]:
+    return [
+        (f"clip-{i}", synth_audio(d, r, freq=f, seed=i), fmt)
+        for i, (d, r, f, fmt) in ((i, _audio_params(i)) for i in range(AUDIO_FIXTURE_N))
+    ]
+
+
+def _quantized_pcm(duration_s: float, rate: int, freq: float, seed: int) -> np.ndarray:
+    """The exact float64 PCM a WAV round trip yields, computed WITHOUT
+    the RIFF parser: synth wave → int16 quantization → /32768."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(duration_s * rate)) / rate
+    wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(len(t))
+    q = (np.clip(wave, -1.0, 1.0) * 32767.0).round().astype(np.int16)
+    return q.astype(np.float64) / 32768.0
+
+
+def audio_expected_rows() -> list[tuple]:
+    out = []
+    for i in range(AUDIO_FIXTURE_N):
+        d, r, f, fmt = _audio_params(i)
+        key = f"clip-{i}"
+        if fmt != "wav":
+            out.append((key, False) + (None,) * 8)
+            continue
+        mono = _quantized_pcm(d, r, f, i)  # single channel ⇒ mono ≡ samples
+        n = len(mono)
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        freqs = np.fft.rfftfreq(n, d=1.0 / r)
+        power = spec.sum()
+        out.append(
+            (key, True, r, n, _milli(n / r), 1,
+             _micro(float(np.sqrt(np.mean(mono**2)))),
+             _micro(float(np.abs(mono).max())),
+             _micro(float(np.mean(np.diff(np.signbit(mono)) != 0))),
+             _milli(float((freqs * spec).sum() / power) if power > 0 else 0.0))
+        )
+    return out
+
+
+def audio_oracle_sql() -> str:
+    return values_sql(audio_expected_rows(), AUDIO_COLS, ["row_key"])
