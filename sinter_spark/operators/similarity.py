@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .dedup import _cap_buckets
+from .dedup import capped_buckets_with_audit  # noqa: F401  (shared cap+audit)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -297,12 +297,7 @@ def rp_lsh_near_pairs(
         )
     ).alias("bb")
     bt = sigs.select(id_col, blocks).select(id_col, F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
-    from .dedup import oversized_buckets
-
-    audit = oversized_buckets(bt, ["blk", "val"], max_bucket) if max_bucket is not None else None
-    bt = _cap_buckets(bt, ["blk", "val"], max_bucket)
-    if cache:
-        bt = bt.persist(StorageLevel.MEMORY_AND_DISK)
+    bt, audit, handle = capped_buckets_with_audit(bt, ["blk", "val"], max_bucket, cache)
     a = bt.alias("a")
     b = bt.alias("b")
     cand = (
@@ -325,6 +320,6 @@ def rp_lsh_near_pairs(
     from .dedup import _attach_cache, _attach_drop_audit
 
     out = _attach_drop_audit(out, audit)
-    if cache:
-        out = _attach_cache(out, bt)  # release via dedup.release_cache
+    if handle is not None:
+        out = _attach_cache(out, handle)  # release via dedup.release_cache
     return out

@@ -105,6 +105,7 @@ def neardup_stream(
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Streaming near-dup pairs (id_a < id_b[, jaccard], ts) — docs
     whose MinHash signatures agree on ≥1 band within the watermark
@@ -115,6 +116,13 @@ def neardup_stream(
     stream-stream join keeps only rows younger than ``delay`` (plus
     the join range) per side. See the module docstring for the
     batch-parity and duplicate-emission contracts.
+
+    ``dedup_pairs=True`` folds the documented multi-band duplicate
+    suppression into the operator: the result is watermarked on ``ts``
+    and chained through ``dropDuplicatesWithinWatermark([id_a, id_b])``
+    (VERDICT_r03 #6) — each (id_a, id_b) pair emits ONCE per watermark
+    horizon in append mode, at the cost of the extra dedup state Spark
+    keeps for one horizon.
     """
     sigs = minhash_signatures_stream(
         stream,
@@ -147,11 +155,23 @@ def neardup_stream(
         F.col(f"b.{id_col}").alias("id_b"),
         F.greatest(ts_a, ts_b).alias("ts"),
     ]
+    if dedup_pairs:
+        # greatest() strips the event-time metadata, and re-watermarking
+        # downstream of a stateful operator is disallowed
+        # (statefulOperator.allowMultiple) — so the ORIGINAL left-side
+        # event-time column rides along for the dedup state and is
+        # dropped after: a and b sit within ``delay`` of each other by
+        # the join bound, so either side's time keys the pair's horizon
+        out_cols.append(ts_a.alias("_evt"))
     if not verify:
-        return joined.select(*out_cols)
-    jac = _jaccard(
-        _shingle_array(f"a.{text_col}", k), _shingle_array(f"b.{text_col}", k)
-    )
-    return joined.select(*out_cols, jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
+        out = joined.select(*out_cols)
+    else:
+        jac = _jaccard(
+            _shingle_array(f"a.{text_col}", k), _shingle_array(f"b.{text_col}", k)
+        )
+        out = joined.select(*out_cols, jac.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
+    if dedup_pairs:
+        out = out.dropDuplicatesWithinWatermark(["id_a", "id_b"]).drop("_evt")
+    return out

@@ -81,3 +81,30 @@ def test_train_rejects_undersized_sample(spark):
     )
     with pytest.raises(ValueError, match="smaller than n_clusters"):
         ivf.train_centroids(tiny, n_clusters=8)
+
+
+def test_incremental_append_equals_rebuild(emb, cents, query, spark, tmp_path):
+    """VERDICT_r03 #8: appending new vectors to a written index (same
+    centroids, no retrain) must probe identically to a from-scratch
+    build over the union, with partition pruning preserved."""
+    old = emb.where("vec_id < 400")
+    new = emb.where("vec_id >= 400")
+    path_inc = str(tmp_path / "ivf_inc")
+    ivf.write_ivf_index(old, cents, path_inc)
+    ivf.append_to_ivf_index(spark, path_inc, new)
+    path_full = str(tmp_path / "ivf_full")
+    ivf.write_ivf_index(emb, cents, path_full)
+
+    got_inc = ivf.ivf_search_index(spark, path_inc, query, k=10, n_probe=3)
+    got_full = ivf.ivf_search_index(spark, path_full, query, k=10, n_probe=3)
+    assert [tuple(r) for r in got_inc.collect()] == [tuple(r) for r in got_full.collect()]
+
+    # appended rows land INSIDE cluster_id= dirs: pruning still applies
+    plan = got_inc._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan[:800]
+
+    # the index now holds every row exactly once
+    data = spark.read.parquet(f"{path_inc}/data")
+    assert data.count() == emb.count()
+    assert data.select("vec_id").distinct().count() == emb.count()

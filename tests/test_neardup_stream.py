@@ -131,3 +131,37 @@ def test_watermark_bounds_pairing_horizon(spark, near_docs, stream_dir):
         assert abs(id_a - id_b) <= 2  # fixture spaces docs 1 min apart
     assert (1, 2) in pairs  # 1 min apart: within horizon
     assert (1, 6) not in pairs  # 5 min apart: evicted
+
+
+def test_dedup_pairs_no_duplicate_pairs_within_horizon(spark, near_docs, stream_dir):
+    """VERDICT_r03 #6: dedup_pairs=True folds the documented
+    dropDuplicatesWithinWatermark chain into the operator — each
+    (id_a, id_b) pair surfaces ONCE in append mode even when several
+    band-buckets agree."""
+    stream = (
+        spark.readStream.schema(near_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    got = _drain(
+        spark,
+        neardup_stream(
+            stream, event_time_col="ts", delay="1 hour", verify=True,
+            threshold=0.5, dedup_pairs=True,
+        ),
+        "nd_dedup_pairs",
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(pairs) == len(set(pairs)), pairs  # no duplicates
+    # and the deduped pair SET equals the raw stream's distinct set
+    stream2 = (
+        spark.readStream.schema(near_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    raw = _drain(
+        spark,
+        neardup_stream(stream2, event_time_col="ts", delay="1 hour", verify=True, threshold=0.5),
+        "nd_raw_pairs",
+    ).collect()
+    assert set(pairs) == {(r["id_a"], r["id_b"]) for r in raw}
