@@ -171,7 +171,7 @@ def decode_qjpg(data: bytes) -> np.ndarray:
 
 ENCODERS = {"raw": encode_raw, "png": encode_png, "qjpg": encode_qjpg}
 DECODERS = {"raw": decode_raw, "png": decode_png, "qjpg": decode_qjpg}
-LOSSY_FMTS = frozenset({"qjpg", "jpeg"})
+LOSSY_FMTS = frozenset({"qjpg", "jpeg", "pjpeg"})
 
 # real baseline JPEG (ITU T.81) lives in jpeg.py; registered here so the
 # decode dispatch, image suite, and fuzz gates pick it up uniformly.
@@ -181,6 +181,17 @@ from .jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 
 ENCODERS["jpeg"] = encode_jpeg
 DECODERS["jpeg"] = decode_jpeg
+
+
+def _encode_pjpeg(arr: np.ndarray) -> bytes:
+    """Progressive (SOF2) JPEG — spectral-selection scan script."""
+    return encode_jpeg(arr, progressive=True)
+
+
+# progressive JPEG as its own fmt tag: same decoder (decode_jpeg
+# handles SOF0/1/2 uniformly), distinct encoder scan script
+ENCODERS["pjpeg"] = _encode_pjpeg
+DECODERS["pjpeg"] = decode_jpeg
 
 
 def decode(fmt: str, data: bytes) -> np.ndarray:

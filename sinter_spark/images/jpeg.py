@@ -183,6 +183,42 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _encode_block_dc(w: _BitWriter, coefs: np.ndarray, pred: int, dc_codes: dict) -> int:
+    """DC coefficient only (progressive DC scan, T.81 §G.1.1)."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return dc
+
+
+def _encode_block_ac(w: _BitWriter, coefs: np.ndarray, ac_codes: dict) -> None:
+    """AC band 1..63 only (progressive spectral-selection AC scan)."""
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+            break
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+
+
 def _encode_block(
     w: _BitWriter, coefs: np.ndarray, pred: int,
     dc_codes: dict, ac_codes: dict,
@@ -237,12 +273,18 @@ def _component_blocks(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
 
 def encode_jpeg(
     arr: np.ndarray, *, quality: int = 85, subsampling: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) or (h, w) uint8 → baseline JFIF bytes.
+    """(h, w, 3) or (h, w) uint8 → JFIF bytes.
 
     ``subsampling``: "444" (no chroma subsampling) or "420" (2×2 chroma
-    average — the common camera default)."""
+    average — the common camera default). ``progressive=True`` emits a
+    SOF2 stream with the canonical spectral-selection scan script (one
+    interleaved DC scan, then one full AC band scan per component —
+    T.81 §G.1.1; same quantized coefficients as baseline, so identical
+    pixels after a full decode). Restart intervals are baseline-only."""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval not supported")
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -295,7 +337,8 @@ def encode_jpeg(
             int(tbl[z]) for z in ZIGZAG
         )
     ncomp = len(planes)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
         hs, vs = samp[ci]
         out += bytes([ci + 1, (hs << 4) | vs, comp_q[ci]])
@@ -307,6 +350,52 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    if progressive:
+        # scan 1: interleaved DC (Ss=0 Se=0), dummy blocks edge-clamped
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += bytes([ci + 1, ti << 4])
+        out += b"\x00\x00\x00"  # Ss=0 Se=0 Ah/Al=0
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci in range(ncomp):
+                    hs, vs = samp[ci]
+                    grid = coef_grids[ci]
+                    ti = 0 if ci == 0 else 1
+                    for by_ in range(vs):
+                        for bx_ in range(hs):
+                            r_ = min(my * vs + by_, grid.shape[0] - 1)
+                            c_ = min(mx * hs + bx_, grid.shape[1] - 1)
+                            preds[ci] = _encode_block_dc(
+                                bw, grid[r_, c_], preds[ci], dc_tbls[ti]
+                            )
+        bw.pad_to_byte()
+        out += bytes(bw.out)
+        # scans 2..: one full AC band per component, non-interleaved
+        # over the component's own block raster (T.81 A.2)
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, ti])
+            out += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah/Al=0
+            bw = _BitWriter()
+            grid = coef_grids[ci]
+            for r_ in range(grid.shape[0]):
+                for c_ in range(grid.shape[1]):
+                    _encode_block_ac(bw, grid[r_, c_], ac_tbls[ti])
+            bw.pad_to_byte()
+            out += bytes(bw.out)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         ti = 0 if ci == 0 else 1
@@ -314,9 +403,6 @@ def encode_jpeg(
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
     # ---- entropy-coded scan (interleaved MCUs) ----
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     bw = _BitWriter()
     preds = [0] * ncomp
     mcu_no = 0
@@ -336,10 +422,8 @@ def encode_jpeg(
                 ti = 0 if ci == 0 else 1
                 for by_ in range(vs):
                     for bx_ in range(hs):
-                        r_ = my * vs + by_
-                        c_ = mx * hs + bx_
-                        r_ = min(r_, grid.shape[0] - 1)
-                        c_ = min(c_, grid.shape[1] - 1)
+                        r_ = min(my * vs + by_, grid.shape[0] - 1)
+                        c_ = min(mx * hs + bx_, grid.shape[1] - 1)
                         preds[ci] = _encode_block(
                             bw, grid[r_, c_], preds[ci], dc_tbls[ti], ac_tbls[ti]
                         )

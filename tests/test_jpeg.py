@@ -384,3 +384,53 @@ class TestCKernelDifferential:
             assert (err_c is None) == (err_py is None)
             if res_c is not None:
                 assert np.array_equal(res_c, res_py)
+
+
+class TestProgressiveEncoder:
+    """Our own SOF2 writer (spectral-selection scan script): identical
+    pixels to baseline (same quantized coefficients), and — decisively
+    — decodable by the JVM's independent ImageIO decoder."""
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    def test_progressive_equals_baseline_pixels(self, sub):
+        img = smooth_img(41, 53, seed=61)
+        prog = jpeg.encode_jpeg(img, quality=90, subsampling=sub, progressive=True)
+        base = jpeg.encode_jpeg(img, quality=90, subsampling=sub)
+        assert b"\xff\xc2" in prog[:200] and b"\xff\xc0" in base[:200]
+        assert np.array_equal(jpeg.decode_jpeg(prog), jpeg.decode_jpeg(base))
+
+    def test_progressive_gray(self):
+        g = smooth_img(24, 40, seed=62)[:, :, 0]
+        prog = jpeg.encode_jpeg(g, quality=90, progressive=True)
+        assert np.array_equal(
+            jpeg.decode_jpeg(prog), jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+        )
+
+    def test_progressive_restart_rejected(self):
+        with pytest.raises(ValueError, match="restart"):
+            jpeg.encode_jpeg(smooth_img(16, 16), progressive=True, restart_interval=2)
+
+    def test_our_progressive_decodes_in_imageio(self, spark):
+        img = smooth_img(40, 48, seed=63)
+        data = jpeg.encode_jpeg(img, quality=92, progressive=True)
+        theirs = _imageio_decode(spark, data)
+        assert theirs.shape == img.shape
+        ours = jpeg.decode_jpeg(data)
+        assert codecs.psnr(ours, theirs) >= 40.0  # 444: IDCT rounding only
+        assert codecs.psnr(img, theirs) >= 35.0
+
+    def test_pjpeg_fmt_registered(self):
+        img = smooth_img(20, 28, seed=64)
+        data = codecs.ENCODERS["pjpeg"](img)
+        assert b"\xff\xc2" in data[:200]
+        out = codecs.decode("pjpeg", data)
+        assert out.shape == img.shape
+        assert "pjpeg" in codecs.LOSSY_FMTS
+
+    def test_pjpeg_truncations_contained(self):
+        data = jpeg.encode_jpeg(smooth_img(24, 24, seed=65), quality=88, progressive=True)
+        for cut in range(0, len(data), max(len(data) // 41, 1)):
+            try:
+                codecs.decode("pjpeg", data[:cut])
+            except codecs.DecodeError:
+                pass

@@ -149,7 +149,9 @@ class TestJpegFmtMix:
             (r["fmt"], r["count"])
             for r in df.groupBy("fmt").count().collect()
         )
-        assert 0.30 <= counts.get("jpeg", 0) / 400 <= 0.50  # ~40% share
+        # jpeg ~25% + progressive ~15%: together the crawl-realistic 40%
+        assert 0.18 <= counts.get("jpeg", 0) / 400 <= 0.35
+        assert 0.08 <= counts.get("pjpeg", 0) / 400 <= 0.22
         res = validate_images_full(df, fmt_dim(spark))
         viols = res.violations.collect()
         # injected violation rate is ~1%; clean jpeg rows must NOT be
