@@ -327,23 +327,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_image_near_dup(spark, sf):
         # image near-duplicates: decode-once DCT pHash + pair-of-blocks
-        # hamming LSH (guaranteed recall at hamming<=6). Deterministic
-        # fixture: synthetic originals + lossy re-encoded copies; hash
-        # seeds make it non-SQL-expressible -> rows-only check, with
-        # brute-force-equality gates in tests/test_image_neardup.py
+        # hamming LSH. Pair-of-blocks bucketing GUARANTEES recall at
+        # hamming<=6 and the fixture sits far below the mega-bucket cap,
+        # so the LSH output equals the full quadratic truth — oracled
+        # against a DuckDB all-pairs bit_count(xor) join over the
+        # generation-time fingerprint table (media_fixtures.neardup_*).
         from sinter_spark.images import codecs as ic, synth as isyn
+        from sinter_spark.media_fixtures import (
+            NEARDUP_COPIES, NEARDUP_H, NEARDUP_N, NEARDUP_SEED, NEARDUP_W,
+        )
         from sinter_spark.operators.multimodal import image_near_dup_pairs
 
-        ids = [isyn.uuid_for(3, i) for i in range(120)]
+        ids = [isyn.uuid_for(NEARDUP_SEED, i) for i in range(NEARDUP_N)]
         rows = []
         for x in ids:
-            px = isyn.render_reference(x, 36, 28)
-            rows.append((x, ic.encode_raw(px), 36, 28, "raw", "c", 0))
-        for x in ids[:40]:
-            px = isyn.render_reference(x, 36, 28)
-            rows.append((f"{x}-copy", ic.ENCODERS["qjpg"](px), 36, 28, "qjpg", "c", 0))
+            px = isyn.render_reference(x, NEARDUP_W, NEARDUP_H)
+            rows.append((x, ic.encode_raw(px), NEARDUP_W, NEARDUP_H, "raw", "c", 0))
+        for x in ids[:NEARDUP_COPIES]:
+            px = isyn.render_reference(x, NEARDUP_W, NEARDUP_H)
+            rows.append(
+                (f"{x}-copy", ic.ENCODERS["qjpg"](px), NEARDUP_W, NEARDUP_H, "qjpg", "c", 0)
+            )
         df = spark.createDataFrame(rows, isyn.IMAGE_DDL).repartition(8)
-        return image_near_dup_pairs(df)
+        return (
+            image_near_dup_pairs(df)
+            .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("id_a", "id_b")
+        )
 
     return {
         "validate_events": q_validate_events,
@@ -396,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
     from sinter_spark.media_fixtures import (
         audio_oracle_sql,
         image_oracle_sql,
+        neardup_oracle_sql,
+        suite_violations_oracle_sql,
         video_oracle_sql,
     )
 
@@ -403,6 +415,11 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_features": image_oracle_sql(),
         "audio_features": audio_oracle_sql(),
         "video_frames": video_oracle_sql(),
+        # round 4: LSH pair pipeline vs all-pairs hamming truth, and the
+        # full-suite violation census vs a single-process re-derivation
+        # of every check from the pure (seed, i) generator
+        "image_near_dup": neardup_oracle_sql(),
+        "image_suite_violations": suite_violations_oracle_sql(),
     }
     return media_oracles | {
         "validate_events": f"""
@@ -656,11 +673,9 @@ def oracle_sql() -> dict[str, str]:
                            ('user_id','integer'), ('event_type','string'),
                            ('value','float'), ('props','string')) AS c(field, type_spec)
         """,
-        # minhash_lsh_docs / simhash_docs / rp_lsh_near_pairs:
-        # xxhash64/seeded-hyperplane based — not SQL-expressible; driver
-        # records rows-only checks, and tests/test_entry_oracle.py gates
-        # their recall against the exact oracled variants.
-        # image_decode_features / image_suite_violations: run on the
-        # deterministic synthetic image table (no image views in the
-        # oracle) — rows-only; gated by tests/test_images.py.
+        # minhash_lsh_docs / simhash_docs / rp_lsh_near_pairs /
+        # ivf_topk_cosine: xxhash64/seeded-hyperplane/k-means based —
+        # not SQL-expressible; driver records rows-only checks, and
+        # tests/test_entry_oracle.py + tests/test_ivf.py gate their
+        # recall against the exact oracled variants.
     }

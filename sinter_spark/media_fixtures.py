@@ -248,3 +248,161 @@ def audio_expected_rows() -> list[tuple]:
 
 def audio_oracle_sql() -> str:
     return values_sql(audio_expected_rows(), AUDIO_COLS, ["row_key"])
+
+
+# --- image near-dup (round 4: oracle for the LSH pair pipeline) --------------
+
+NEARDUP_N = 120
+NEARDUP_COPIES = 40
+NEARDUP_SEED = 3
+NEARDUP_W, NEARDUP_H = 36, 28
+NEARDUP_MAX_HAMMING = 6
+
+
+def neardup_phash_rows() -> list[tuple[str, int]]:
+    """(image_id, dct_phash64) for the ``image_near_dup`` fixture,
+    computed at expectation-build time: originals fingerprint the
+    REFERENCE RENDER directly (``raw`` is lossless, decode ≡ render —
+    decoder-independent); the ``qjpg`` re-encoded copies take one
+    deterministic encode→decode round trip here (the qjpg codec is
+    pinned by its own unit tests), exactly as the image/video/audio
+    expectations above do for lossy payloads."""
+    from .images.synth import render_reference, uuid_for
+
+    ids = [uuid_for(NEARDUP_SEED, i) for i in range(NEARDUP_N)]
+    rows = []
+    for x in ids:
+        rows.append((x, dct_phash64(render_reference(x, NEARDUP_W, NEARDUP_H))))
+    for x in ids[:NEARDUP_COPIES]:
+        px = render_reference(x, NEARDUP_W, NEARDUP_H)
+        dec = codecs.decode("qjpg", codecs.ENCODERS["qjpg"](px))
+        rows.append((f"{x}-copy", dct_phash64(dec)))
+    return rows
+
+
+def neardup_oracle_sql(max_hamming: int = NEARDUP_MAX_HAMMING) -> str:
+    """ANSI-SQL all-pairs hamming join over the fingerprint VALUES
+    table — the brute-force twin of the hamming-block LSH pipeline.
+    Equality with the Spark output is exact because pair-of-blocks
+    bucketing GUARANTEES recall at hamming ≤ n_blocks − 2 (pigeonhole;
+    ``dedup.hamming_block_pairs``) and the fixture is far below the
+    mega-bucket cap, so LSH output ≡ the full quadratic truth."""
+    rows = neardup_phash_rows()
+    vals = ",\n".join(f"('{i}', {ph})" for i, ph in rows)
+    return (
+        "WITH p AS (SELECT CAST(id AS VARCHAR) AS id, CAST(ph AS BIGINT) AS ph "
+        f"FROM (VALUES\n{vals}\n) AS t(id, ph))\n"
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming\n"
+        "FROM p a JOIN p b ON a.id < b.id\n"
+        f"WHERE bit_count(xor(a.ph, b.ph)) <= {int(max_hamming)}\n"
+        "ORDER BY id_a, id_b"
+    )
+
+
+# --- image-suite violation census (round 4) ----------------------------------
+
+SUITE_N = 2000
+SUITE_SEED = 42
+SUITE_MAX_DIM = 32
+_SUITE_FMTS = ("raw", "png", "qjpg", "jpeg", "pjpeg")  # schema choices ≡ fmt_dim
+
+
+def suite_expected_code_counts(
+    n: int = SUITE_N, seed: int = SUITE_SEED, max_dim: int = SUITE_MAX_DIM
+) -> dict[str, int]:
+    """Expected per-code violation counts for ``validate_images_full``
+    over ``generate_images(n, seed, max_dim)`` — a straight-line
+    single-process re-derivation of every suite check from the
+    generator's own rows (the table is a pure function of ``(seed, i)``,
+    so ground truth is computable without Spark). This is the oracle
+    for the DISTRIBUTED composition: the fused Column-predicate row
+    pass, Arrow-batched decode kernel, salted two-phase uniqueness
+    aggs, broadcast referential anti-join, and the violation union —
+    each reimplemented here as plain Python over plain dicts.
+
+    Per-row payload checks mirror ``images.kernel._check_row``
+    semantics (reimplemented, not called); decode itself reuses the
+    pinned codecs exactly as the media expectations above do."""
+    from collections import Counter
+
+    from .images.synth import (
+        expected_caption,
+        make_row,
+        phash64,
+        render_reference,
+    )
+    from .types import UUID_RE
+
+    codes: Counter = Counter()
+    id_counts: Counter = Counter()
+    ph_counts: Counter = Counter()
+    for i in range(n):
+        r = make_row(seed, i, max_dim)
+        iid, data, w, h = r["image_id"], r["bytes"], r["w"], r["h"]
+        fmt, cap, ph = r["fmt"], r["caption"], r["phash"]
+
+        # row pass: image_schema(include_bytes=False) predicates
+        if iid is None:
+            codes["required"] += 1
+        elif not UUID_RE.match(iid):
+            codes["format"] += 1
+        if not w > 0:
+            codes["gt"] += 1
+        if not w <= 16384:
+            codes["lteq"] += 1
+        if not h > 0:
+            codes["gt"] += 1
+        if not h <= 16384:
+            codes["lteq"] += 1
+        if fmt not in _SUITE_FMTS:
+            codes["choices"] += 1
+        if len(cap) < 1:
+            codes["min_length"] += 1
+        if len(cap) > 512:
+            codes["max_length"] += 1
+
+        # decode kernel (decode-once, then dim/pixel/caption/phash)
+        px = None
+        if data is None:
+            codes["required"] += 1
+        elif fmt not in codecs.DECODERS:
+            codes["decode"] += 1
+        else:
+            try:
+                px = codecs.decode(fmt, bytes(data))
+            except codecs.DecodeError:
+                codes["decode"] += 1
+        if px is not None:
+            dec_h, dec_w = px.shape[0], px.shape[1]
+            if w is not None and int(w) != dec_w:
+                codes["dim_mismatch"] += 1
+            if h is not None and int(h) != dec_h:
+                codes["dim_mismatch"] += 1
+            if iid is not None:
+                ref = render_reference(iid, dec_w, dec_h)
+                if fmt in codecs.LOSSY_FMTS:
+                    if not codecs.psnr(px, ref) >= 40.0:
+                        codes["psnr"] += 1
+                elif px.shape != ref.shape or px.tobytes() != ref.tobytes():
+                    codes["decode"] += 1
+                if cap is not None and cap != expected_caption(iid):
+                    codes["caption_mismatch"] += 1
+                if ph is not None and int(ph) != phash64(ref):
+                    codes["phash_mismatch"] += 1
+
+        # uniqueness (null is a group key, like groupBy) + referential
+        id_counts[iid] += 1
+        ph_counts[ph] += 1
+        if fmt not in _SUITE_FMTS:
+            codes["referential"] += 1
+
+    codes["unique"] += sum(1 for v in id_counts.values() if v > 1)
+    codes["unique"] += sum(1 for v in ph_counts.values() if v > 1)
+    return dict(codes)
+
+
+def suite_violations_oracle_sql() -> str:
+    counts = suite_expected_code_counts()
+    rows = sorted(counts.items())
+    return values_sql(rows, [("code", "VARCHAR"), ("n", "BIGINT")], ["code"])
