@@ -421,7 +421,23 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": neardup_oracle_sql(),
         "image_suite_violations": suite_violations_oracle_sql(),
     }
-    return media_oracles | {
+    # seeded-hash LSH oracles (round 4): signatures re-derived by the
+    # straight-line scalar twin in sinter_spark.lsh_fixtures (reads the
+    # same parquet: $SINTER_ORACLE_SF_DIR, default the driver's sf0.01);
+    # the pair derivation itself (band/block self-join, exact-cosine
+    # verify) runs IN SQL
+    from sinter_spark.lsh_fixtures import (
+        minhash_oracle_sql,
+        rp_lsh_oracle_sql,
+        simhash_oracle_sql,
+    )
+
+    lsh_oracles = {
+        "minhash_lsh_docs": minhash_oracle_sql(),
+        "simhash_docs": simhash_oracle_sql(),
+        "rp_lsh_near_pairs": rp_lsh_oracle_sql(),
+    }
+    return media_oracles | lsh_oracles | {
         "validate_events": f"""
             SELECT CAST(event_id AS VARCHAR) AS row_key, 'event_type' AS path,
                    'choices' AS code, '{choices_msg}' AS message
@@ -673,9 +689,8 @@ def oracle_sql() -> dict[str, str]:
                            ('user_id','integer'), ('event_type','string'),
                            ('value','float'), ('props','string')) AS c(field, type_spec)
         """,
-        # minhash_lsh_docs / simhash_docs / rp_lsh_near_pairs /
-        # ivf_topk_cosine: xxhash64/seeded-hyperplane/k-means based —
-        # not SQL-expressible; driver records rows-only checks, and
-        # tests/test_entry_oracle.py + tests/test_ivf.py gate their
-        # recall against the exact oracled variants.
+        # ivf_topk_cosine: k-means training samples in scan order, so
+        # centroids are not a pure function of the table — rows-only
+        # check; tests/test_ivf.py gates recall vs brute force and
+        # partition pruning.
     }

@@ -52,6 +52,8 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # lsh_fixtures oracle builders follow the checked sf
+    os.environ["SINTER_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark()
     con = duckdb.connect()

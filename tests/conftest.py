@@ -16,4 +16,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # the lsh_fixtures oracle builders read the same parquet the query
+    # reads — point them at the test sf (driver default is sf0.01)
+    os.environ["SINTER_ORACLE_SF_DIR"] = d
+    return d
