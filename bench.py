@@ -241,7 +241,25 @@ def main() -> None:
 
     wall = time.perf_counter() - bench_t0
     result["steal_cores"] = round((read_steal() - steal0) / wall, 2)
-    print(json.dumps(result))
+
+    # the driver records only a bounded TAIL of stdout (BENCH_r03.json
+    # came back "parsed": null because the full JSON outgrew it) — so
+    # stdout gets a COMPACT line and the full record goes to a sidecar
+    detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_file, "w") as f:
+        json.dump(result, f, indent=1)
+    compact_keys = [
+        "metric", "value", "unit", "queries", "sf", "headline_total_sec",
+        "cores", "trials", "value_median", "images_n", "image_suite_sec",
+        "image_suite_best_steal", "value_jpeg_mix", "jpeg_mix_images_n",
+        "image_suite_jpeg_sec", "steal_cores",
+    ]
+    compact = {k: result[k] for k in compact_keys if k in result}
+    compact["decode_img_per_sec"] = {
+        fmt: d["img_per_sec"] for fmt, d in result["decode_microbench"].items()
+    }
+    compact["detail_file"] = "bench_detail.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
