@@ -26,22 +26,39 @@ _NUMERIC = (
 
 
 def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool = True) -> DataFrame:
-    """Long-format stats: one row per column, ONE scan + ONE reduce.
+    """Long-format stats: one row per column.
 
-    ``approx=True`` uses HLL++ (`approx_count_distinct`, rsd 5%);
-    ``approx=False`` uses exact distinct (oracle-comparable, costlier).
+    ``approx=True``: HLL++ (`approx_count_distinct`, rsd 5%) riding the
+    single distinct-free wide aggregate — ONE scan + ONE reduce.
+    ``approx=False``: exact distinct (oracle-comparable). N same-agg
+    ``count_distinct``s make Catalyst emit an Expand (every row
+    multiplied ×(N+1), then a shuffle keyed on ALL N value columns —
+    measured 3× slower than the rewrite at sf0.1 and strictly worse at
+    scale), so for atomic column types the exact path instead runs the
+    wide agg WITHOUT distincts plus a canonical two-phase distinct over
+    a stacked (column, value) long table: map-side partial dedup, one
+    shuffle of the per-partition-distinct survivors, count per column.
+    Numerics stack as double (groupBy normalizes NaN/-0.0 exactly like
+    ``count_distinct``); other atomics stack as their injective string
+    cast. Non-atomic (array/map/struct) columns fall back to the
+    multi-distinct single agg, where string casts aren't injective.
     min/max reported as doubles for numeric columns, null otherwise
     (string min/max formatting is engine-specific and breaks oracles).
     """
     if cols is None:
         cols = df.columns
     dtypes = {f.name: f.dataType for f in df.schema.fields}
+    all_atomic = all(isinstance(dtypes[c], ST.AtomicType) for c in cols)
+    exact_long = (not approx) and all_atomic
     # internal aliases are POSITIONAL (nulls__0, …), never derived from
     # the user's column names: a name with spaces/dashes/quotes would
     # break the stack() expression below; column access is backtick-
     # quoted so dots resolve as literal name chars, not struct nesting
     def _c(name: str):
         return F.col("`" + name.replace("`", "``") + "`")
+
+    def _bt(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
@@ -54,7 +71,7 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
             aggs.append(F.lit(None).cast("double").alias(f"max__{i}"))
         if approx:
             aggs.append(F.approx_count_distinct(_c(c)).alias(f"dist__{i}"))
-        else:
+        elif not exact_long:
             aggs.append(F.count_distinct(_c(c)).alias(f"dist__{i}"))
     wide = df.agg(*aggs)
 
@@ -62,13 +79,47 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     # unpivot wide → long with one stack expression (no extra pass)
-    stack_args = ", ".join(
-        f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}, dist__{i}" for i, c in enumerate(cols)
-    )
-    return wide.selectExpr(
-        "__n as n_rows",
-        f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value, n_distinct)",
-    ).select(
+    if exact_long:
+        stack_args = ", ".join(
+            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}" for i, c in enumerate(cols)
+        )
+        base = wide.selectExpr(
+            "__n as n_rows",
+            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value)",
+        )
+        dists = []
+        for cast_to, group in (
+            ("double", [c for c in cols if isinstance(dtypes[c], _NUMERIC)]),
+            ("string", [c for c in cols if not isinstance(dtypes[c], _NUMERIC)]),
+        ):
+            if not group:
+                continue
+            vstack = ", ".join(f"{_lit(c)}, cast({_bt(c)} as {cast_to})" for c in group)
+            long = df.selectExpr(
+                f"stack({len(group)}, {vstack}) as (column, value)"
+            ).where(F.col("value").isNotNull())
+            dists.append(
+                long.groupBy("column", "value")
+                .agg(F.lit(1))
+                .groupBy("column")
+                .agg(F.count(F.lit(1)).alias("n_distinct"))
+            )
+        dist = dists[0]
+        for d in dists[1:]:
+            dist = dist.unionByName(d)
+        # left join: an all-null column has no long rows but distinct 0
+        stacked = base.join(F.broadcast(dist), "column", "left").withColumn(
+            "n_distinct", F.coalesce("n_distinct", F.lit(0).cast("long"))
+        )
+    else:
+        stack_args = ", ".join(
+            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}, dist__{i}" for i, c in enumerate(cols)
+        )
+        stacked = wide.selectExpr(
+            "__n as n_rows",
+            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value, n_distinct)",
+        )
+    return stacked.select(
         "column",
         "n_rows",
         "n_nulls",

@@ -234,3 +234,59 @@ class TestStarOneActionPerRound:
         monkeypatch.undo()
         # ~log2(128) rounds + fixpoint round + the initial signature
         assert n_actions <= 12, n_actions
+
+
+class TestExactStatsNoExpand:
+    """Round-4 perf rewrite: exact column_stats over atomic columns must
+    avoid Catalyst's multi-count_distinct Expand (×(N+1) row
+    multiplication) while keeping count_distinct semantics exactly."""
+
+    def test_plan_has_no_expand(self, spark, sf_dir):
+        from sinter_spark.operators.stats import column_stats
+
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plan = column_stats(
+            df, ["l_quantity", "l_extendedprice", "l_linenumber"], approx=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+
+    def test_exact_semantics_vs_count_distinct(self, spark):
+        """NaN and -0.0/0.0 normalization, nulls, all-null column, and a
+        string column — each must match the count_distinct answer."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from sinter_spark.operators.stats import column_stats
+
+        df = spark.createDataFrame(
+            [
+                (1.0, "a", None),
+                (-0.0, "b", None),
+                (0.0, "a", None),
+                (math.nan, None, None),
+                (math.nan, "c", None),
+                (None, "c", None),
+            ],
+            "x double, s string, dead double",
+        )
+        got = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+        want = df.agg(
+            F.count_distinct("x"), F.count_distinct("s"), F.count_distinct("dead")
+        ).collect()[0]
+        assert got["x"]["n_distinct"] == want[0]  # {1.0, 0.0≡-0.0, NaN} = 3
+        assert got["s"]["n_distinct"] == want[1]
+        assert got["dead"]["n_distinct"] == want[2] == 0
+        assert got["x"]["n_nulls"] == 1 and got["dead"]["n_nulls"] == 6
+        assert got["s"]["min_value"] is None  # non-numeric: no min/max
+
+    def test_non_atomic_falls_back_and_matches(self, spark):
+        from sinter_spark.operators.stats import column_stats
+
+        df = spark.createDataFrame(
+            [([1, 2], 1.0), ([1, 2], 2.0), ([3], None)],
+            "arr array<bigint>, x double",
+        )
+        got = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+        assert got["arr"]["n_distinct"] == 2
+        assert got["x"]["n_distinct"] == 2 and got["x"]["n_nulls"] == 1
