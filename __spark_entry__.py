@@ -148,6 +148,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_docs(spark, sf):
         return dedup.simhash_arrow(_t(spark, sf, "documents"))
 
+    def q_winnow_overlap_docs(spark, sf):
+        # substring-level dedup (round 4): winnowed fingerprint overlap
+        # pairs — fragment sharing, not whole-doc similarity; oracled
+        # by the scalar-twin fingerprints + an IN-SQL self-join
+        from sinter_spark.operators.winnow import substring_overlap_pairs
+
+        # min_shared=15 selects genuine fragment overlap on this corpus
+        # (the n_shared distribution's long tail); lower values admit
+        # background phrase-sharing between unrelated synthetic docs
+        return substring_overlap_pairs(
+            _t(spark, sf, "documents"), k=8, window=8, min_shared=15, cache=False
+        )
+
     def q_text_quality_docs(spark, sf):
         return text.quality_features(_t(spark, sf, "documents"))
 
@@ -371,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_docs": q_dedup_canonical_docs,
         "minhash_lsh_docs": q_minhash_lsh_docs,
         "simhash_docs": q_simhash_docs,
+        "winnow_overlap_docs": q_winnow_overlap_docs,
         "text_quality_docs": q_text_quality_docs,
         "langid_docs": q_langid_docs,
         "topk_cosine": q_topk_cosine,
@@ -430,12 +444,14 @@ def oracle_sql() -> dict[str, str]:
         minhash_oracle_sql,
         rp_lsh_oracle_sql,
         simhash_oracle_sql,
+        winnow_oracle_sql,
     )
 
     lsh_oracles = {
         "minhash_lsh_docs": minhash_oracle_sql(),
         "simhash_docs": simhash_oracle_sql(),
         "rp_lsh_near_pairs": rp_lsh_oracle_sql(),
+        "winnow_overlap_docs": winnow_oracle_sql(),
     }
     return media_oracles | lsh_oracles | {
         "validate_events": f"""

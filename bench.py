@@ -47,6 +47,7 @@ HEADLINE = [
     "langid_docs",
     "minhash_lsh_docs",
     "simhash_docs",
+    "winnow_overlap_docs",
     "topk_cosine",
     "batch_topk_cosine",
 ]

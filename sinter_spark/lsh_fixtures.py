@@ -205,6 +205,64 @@ def simhash_oracle_sql() -> str:
     )
 
 
+# --- winnowing ---------------------------------------------------------------
+
+
+def winnow_scalar(text: str, *, k: int = 8, window: int = 8) -> list[tuple[int, int]]:
+    """Sorted (pos, fp) winnowed fingerprints of ONE doc — the textbook
+    per-window scan from SIGMOD 2003 (explicit min + rightmost-tie
+    search per window), the straight-line twin of the kernel's
+    O(window) shifted-pass formulation. fp values signed-int64."""
+    bs = text.encode("utf-8")
+    span = window + k - 1
+    if len(bs) < span:
+        return []
+    m = len(bs) - k + 1
+    hs = []
+    for p in range(m):
+        code = 0
+        for j in range(k):
+            code = (code << 8) | bs[p + j]
+        hs.append(_splitmix64(code))
+    sel: dict[int, int] = {}
+    for q in range(m - window + 1):
+        wvals = hs[q : q + window]
+        mn = min(wvals)
+        j = max(i for i, v in enumerate(wvals) if v == mn)
+        sel[q + j] = wvals[j]
+    return sorted(
+        (pos, fp - (1 << 64) if fp >= (1 << 63) else fp) for pos, fp in sel.items()
+    )
+
+
+@lru_cache(maxsize=2)
+def winnow_fp_rows(sf_dir: str, *, k: int = 8, window: int = 8) -> tuple[tuple, ...]:
+    """Distinct (doc_id, fp) rows over the documents table."""
+    out = []
+    for doc_id, text in _read_table(sf_dir, "documents", ("doc_id", "text")):
+        if text is None:
+            continue
+        fps = {fp for _pos, fp in winnow_scalar(text, k=k, window=window)}
+        out.extend((doc_id, fp) for fp in sorted(fps))
+    return tuple(out)
+
+
+def winnow_oracle_sql(min_shared: int = 15) -> str:
+    """Self-join on raw fingerprint values + HAVING — the SQL twin of
+    ``winnow.substring_overlap_pairs`` (exact at driver/test scales:
+    the largest fingerprint bucket ≤ n_docs < the 1000 cap)."""
+    rows = winnow_fp_rows(oracle_sf_dir())
+    vals = ",\n".join(f"({d}, {fp})" for d, fp in rows)
+    return (
+        "WITH fp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp "
+        f"FROM (VALUES\n{vals}\n) AS t(doc_id, fp))\n"
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared\n"
+        "  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id\n"
+        " GROUP BY 1, 2\n"
+        f"HAVING COUNT(*) >= {int(min_shared)}"
+    )
+
+
 # --- rp-lsh ------------------------------------------------------------------
 
 
