@@ -156,9 +156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # min_shared=15 selects genuine fragment overlap on this corpus
         # (the n_shared distribution's long tail); lower values admit
-        # background phrase-sharing between unrelated synthetic docs
+        # background phrase-sharing between unrelated synthetic docs.
+        # max_bucket=200: ubiquitous-phrase fps aren't discriminative
+        # and carry 92% of the Σb² join cost at sf0.1 — dropped WITH
+        # audit, and the oracle SQL replicates the same cap
         return substring_overlap_pairs(
-            _t(spark, sf, "documents"), k=8, window=8, min_shared=15, cache=False
+            _t(spark, sf, "documents"),
+            k=8, window=8, min_shared=15, max_bucket=200, cache=False,
         )
 
     def q_text_quality_docs(spark, sf):

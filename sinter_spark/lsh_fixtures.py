@@ -247,15 +247,20 @@ def winnow_fp_rows(sf_dir: str, *, k: int = 8, window: int = 8) -> tuple[tuple, 
     return tuple(out)
 
 
-def winnow_oracle_sql(min_shared: int = 15) -> str:
+def winnow_oracle_sql(min_shared: int = 15, max_bucket: int = 200) -> str:
     """Self-join on raw fingerprint values + HAVING — the SQL twin of
-    ``winnow.substring_overlap_pairs`` (exact at driver/test scales:
-    the largest fingerprint bucket ≤ n_docs < the 1000 cap)."""
+    ``winnow.substring_overlap_pairs``. The operator's mega-bucket cap
+    is REPLICATED in SQL (fingerprints carried by more than
+    ``max_bucket`` documents are excluded before the join), so the
+    oracle is exact at every sf — at sf0.1 the largest bucket is ~3.8k
+    docs and uncapped SQL would both mismatch and cost Σb² ≈ 10⁸."""
     rows = winnow_fp_rows(oracle_sf_dir())
     vals = ",\n".join(f"({d}, {fp})" for d, fp in rows)
     return (
-        "WITH fp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp "
-        f"FROM (VALUES\n{vals}\n) AS t(doc_id, fp))\n"
+        "WITH raw AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp "
+        f"FROM (VALUES\n{vals}\n) AS t(doc_id, fp)),\n"
+        f"kept AS (SELECT fp FROM raw GROUP BY fp HAVING COUNT(*) <= {int(max_bucket)}),\n"
+        "fp AS (SELECT raw.* FROM raw JOIN kept USING (fp))\n"
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared\n"
         "  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id\n"
         " GROUP BY 1, 2\n"
