@@ -193,6 +193,21 @@ def _encode_pjpeg(arr: np.ndarray) -> bytes:
 ENCODERS["pjpeg"] = _encode_pjpeg
 DECODERS["pjpeg"] = decode_jpeg
 
+# real GIF87a/89a (public CompuServe/W3C spec) lives in gif.py — a
+# palette format, lossless for ≤256-color input (truecolor callers
+# posterize first; gif.encode_gif documents the contract)
+from .gif import decode_gif, encode_gif, posterize_rgb332  # noqa: E402
+
+
+def _encode_gif_posterized(arr: np.ndarray) -> bytes:
+    """Registry-facing GIF encoder: palette-limit truecolor input the
+    way a real GIF origin does, then encode losslessly."""
+    return encode_gif(posterize_rgb332(arr))
+
+
+ENCODERS["gif"] = _encode_gif_posterized
+DECODERS["gif"] = decode_gif
+
 
 def decode(fmt: str, data: bytes) -> np.ndarray:
     dec = DECODERS.get(fmt)

@@ -66,6 +66,11 @@ def _check_row(
 
     if image_id is not None:
         ref = render_reference(image_id, pixels.shape[1], pixels.shape[0])
+        if fmt == "gif":
+            # gif payloads are palette-limited at origin (synth F1):
+            # the expected pixels — and the phash below — are the
+            # posterized render, which gif round-trips losslessly
+            ref = codecs.posterize_rgb332(ref)
         if fmt in codecs.LOSSY_FMTS:
             p = codecs.psnr(pixels, ref)
             if not p >= PSNR_MIN_DB:

@@ -33,7 +33,7 @@ def image_schema(include_bytes: bool = True) -> Schema:
             ("bytes", "any"),
             ("w", "integer", {"gt": 0, "lteq": 16384}),
             ("h", "integer", {"gt": 0, "lteq": 16384}),
-            ("fmt", "string", {"choices": ["raw", "png", "qjpg", "jpeg", "pjpeg"]}),
+            ("fmt", "string", {"choices": ["raw", "png", "qjpg", "jpeg", "pjpeg", "gif"]}),
             ("caption", "string", {"min_length": 1, "max_length": 512}),
             ("phash", "integer"),
     ]

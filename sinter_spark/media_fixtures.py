@@ -84,14 +84,14 @@ IMAGE_COLS = [
 
 
 def image_payload_rows() -> list[tuple[str, bytes, str, int, int]]:
-    """(row_key, bytes, fmt, w, h): fmts cycle raw/png/qjpg/jpeg;
+    """(row_key, bytes, fmt, w, h): fmts cycle raw/png/qjpg/jpeg/gif;
     every 25th payload is corrupted mid-stream (flip 16 bytes)."""
     rows = []
     for i in range(IMAGE_FIXTURE_N):
         key = f"img-{i:04d}"
         w, h = 16 + (i * 7) % 33, 16 + (i * 11) % 29
         px = render_reference(key, w, h)
-        fmt = ("raw", "png", "qjpg", "jpeg")[i % 4]
+        fmt = ("raw", "png", "qjpg", "jpeg", "gif")[i % 5]
         data = _encode_payload(fmt, px)
         if i % 25 == 24:
             b = bytearray(data)
@@ -115,8 +115,10 @@ def image_expected_rows() -> list[tuple]:
         except codecs.DecodeError:
             out.append((key, False, None, None, None, None))
             continue
-        if fmt in ("raw", "png") and not corrupt:
+        if fmt in ("raw", "png", "gif") and not corrupt:
             ref = render_reference(key, w, h)
+            if fmt == "gif":   # palette-limited at origin, then lossless
+                ref = codecs.posterize_rgb332(ref)
             if not np.array_equal(px, ref):  # pragma: no cover
                 raise AssertionError(f"lossless decode != render for {key}")
         means = px.reshape(-1, 3).mean(axis=0)
@@ -305,7 +307,7 @@ def neardup_oracle_sql(max_hamming: int = NEARDUP_MAX_HAMMING) -> str:
 SUITE_N = 2000
 SUITE_SEED = 42
 SUITE_MAX_DIM = 32
-_SUITE_FMTS = ("raw", "png", "qjpg", "jpeg", "pjpeg")  # schema choices ≡ fmt_dim
+_SUITE_FMTS = ("raw", "png", "qjpg", "jpeg", "pjpeg", "gif")  # schema choices ≡ fmt_dim
 
 
 def suite_expected_code_counts(
@@ -381,6 +383,8 @@ def suite_expected_code_counts(
                 codes["dim_mismatch"] += 1
             if iid is not None:
                 ref = render_reference(iid, dec_w, dec_h)
+                if fmt == "gif":   # mirror kernel: palette-limited origin
+                    ref = codecs.posterize_rgb332(ref)
                 if fmt in codecs.LOSSY_FMTS:
                     if not codecs.psnr(px, ref) >= 40.0:
                         codes["psnr"] += 1

@@ -18,7 +18,7 @@ from hypothesis import strategies as st
 
 from sinter_spark.images import codecs
 
-FMTS = ["raw", "png", "qjpg", "jpeg"]
+FMTS = ["raw", "png", "qjpg", "jpeg", "gif"]
 
 
 def _valid_payload(fmt: str, seed: int = 7) -> bytes:
@@ -29,6 +29,7 @@ def _valid_payload(fmt: str, seed: int = 7) -> bytes:
         "png": codecs.encode_png,
         "qjpg": codecs.encode_qjpg,
         "jpeg": codecs.ENCODERS["jpeg"],
+        "gif": codecs.ENCODERS["gif"],
     }
     return encoders[fmt](arr)
 

@@ -129,7 +129,7 @@ class TestFeaturePhashExactness:
         expected = dct_phash64(px)
         rows = [
             ("good", codecs.encode_raw(px), 40, 30, "raw", "c", 0),
-            ("stub", b"\x00\x01", 2, 2, "gif", "c", 0),   # unknown fmt -> None hash
+            ("stub", b"\x00\x01", 2, 2, "webp", "c", 0),  # unknown fmt -> None hash
             ("corrupt", b"\x00" * 3, 1, 1, "png", "c", 0),  # decode error -> None hash
         ]
         df = spark.createDataFrame(rows, synth.IMAGE_DDL).coalesce(1)

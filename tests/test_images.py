@@ -40,7 +40,7 @@ class TestCodecs:
 
     def test_decode_dispatch_unknown_fmt(self):
         with pytest.raises(codecs.DecodeError):
-            codecs.decode("gif", b"xxxx")
+            codecs.decode("webp", b"xxxx")
 
     def test_psnr_identical_inf(self):
         img = rand_img(4)
@@ -154,7 +154,7 @@ class TestFullSuite:
         # uniqueness
         assert by_code.get("unique", 0) > 0        # duplicated image_id/phash
         # referential
-        assert by_code.get("referential", 0) > 0   # fmt='gif' orphans
+        assert by_code.get("referential", 0) > 0   # fmt='webp' orphans
         # caption equality: empty captions mismatch the reference
         assert by_code.get("caption_mismatch", 0) > 0
         # phash integrity: tampered fingerprints (v3 injection)

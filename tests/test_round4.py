@@ -135,8 +135,8 @@ class TestJpegFmtMix:
             rng.uniform(np.log(16), np.log(64)); rng.uniform(np.log(16), np.log(64))
             r = rng.random()
             want = "raw" if r < 0.85 else ("png" if r < 0.97 else "qjpg")
-            injected_gif = row["fmt"] == "gif"
-            if not injected_gif:
+            injected_bad_fmt = row["fmt"] == "webp"
+            if not injected_bad_fmt:
                 assert row["fmt"] == want, i
         assert [m[0] for m in DEFAULT_FMT_MIX] == ["raw", "png", "qjpg"]
 

@@ -89,8 +89,8 @@ class TestMultimodal:
         assert len(ok) > 250
         assert all(0 <= r["brightness"] <= 255 for r in ok)
         stubs = [r for r in rows if r["err"] and r["err"].startswith("stub:")]
-        # fmt='gif' rows hit the stub path, not a crash
-        assert all(s["err"] == "stub:gif" for s in stubs)
+        # fmt='webp' rows hit the stub path, not a crash
+        assert all(s["err"] == "stub:webp" for s in stubs)
 
     def test_resize(self, spark, img_df):
         from sinter_spark.images import codecs
