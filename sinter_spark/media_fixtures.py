@@ -145,17 +145,32 @@ VIDEO_COLS = [
 
 
 def _video_params(i: int) -> tuple[int, int, int, str]:
-    return 8 + i % 9, 32, 24, ("rawvid" if i % 7 else "mp4")
+    fmt = "mp4" if i % 7 == 0 else ("gif" if i % 5 == 2 else "rawvid")
+    return 8 + i % 9, 32, 24, fmt
+
+
+def _gif_clip_frames(n: int, w: int, h: int, seed: int) -> np.ndarray:
+    """Animated-gif source frames: palette-limited at origin (the same
+    posterize contract as still gif rows in synth F1)."""
+    from .images.gif import posterize_rgb332
+
+    return posterize_rgb332(synth_video_frames(n, w, h, seed=seed))
 
 
 def video_payload_rows() -> list[tuple[str, bytes, str]]:
-    """(row_key, bytes, fmt): rawvid clips + every 7th an mp4 stub."""
+    """(row_key, bytes, fmt): rawvid clips + animated-gif clips +
+    every 7th an mp4 stub."""
+    from .images.gif import encode_gif_animation
     from .images.video import encode_rawvid
 
     rows = []
     for i in range(VIDEO_FIXTURE_N):
         n, w, h, fmt = _video_params(i)
-        rows.append((f"vid-{i:03d}", encode_rawvid(synth_video_frames(n, w, h, seed=i)), fmt))
+        if fmt == "gif":
+            data = encode_gif_animation(_gif_clip_frames(n, w, h, seed=i))
+        else:
+            data = encode_rawvid(synth_video_frames(n, w, h, seed=i))
+        rows.append((f"vid-{i:03d}", data, fmt))
     return rows
 
 
@@ -170,7 +185,9 @@ def video_expected_rows() -> list[tuple]:
         n, w, h, fmt = _video_params(i)
         key = f"vid-{i:03d}"
         frames = synth_video_frames(n, w, h, seed=i)
-        if fmt == "rawvid":
+        if fmt in ("rawvid", "gif"):
+            if fmt == "gif":   # palette-limited at origin (≡ payload)
+                frames = _gif_clip_frames(n, w, h, seed=i)
             for idx in sample_indices(n, VIDEO_SAMPLE_K):
                 px = frames[idx]
                 out.append(

@@ -206,16 +206,25 @@ def sample_video_frames(
     """Video frame sampler: k uniformly-spread frames per clip with
     per-frame features (dims, brightness, DCT pHash, digest).
 
-    REAL for the builtin ``rawvid`` container (``images/video.py``):
-    the frame INDEX lets the kernel decode ONLY the k sampled frames —
-    O(k) inflate work per clip regardless of clip length, the access
-    pattern an mp4 keyframe sampler has at scale. Non-builtin container
-    fmts (mp4/webm — no ffmpeg in this container, SURVEY §7.0) fall
-    back to the stub path: deterministic payload-slice digests with
-    ``ok=False, err='stub:<fmt>'``, preserving output shape so the
-    plumbing downstream is exercised either way. With ``fmt_col=None``
-    every row takes the stub path (legacy behavior).
+    REAL for two builtin containers:
+
+    * ``rawvid`` (``images/video.py``): the frame INDEX lets the kernel
+      decode ONLY the k sampled frames — O(k) inflate work per clip
+      regardless of clip length, the access pattern an mp4 keyframe
+      sampler has at scale.
+    * ``gif`` animations (``images/gif.py``): GIF is delta-coded with
+      no frame index (frame i composites on 0..i-1), so the kernel
+      decodes sequentially up to the last sampled frame — the honest
+      cost model for index-less formats; clips are short by nature.
+
+    Non-builtin container fmts (mp4/webm — no ffmpeg in this
+    container, SURVEY §7.0) fall back to the stub path: deterministic
+    payload-slice digests with ``ok=False, err='stub:<fmt>'``,
+    preserving output shape so the plumbing downstream is exercised
+    either way. With ``fmt_col=None`` every row takes the stub path
+    (legacy behavior).
     """
+    from ..images.gif import gif_frames, probe_gif
     from ..images.video import decode_rawvid_frame, probe_rawvid, sample_indices
 
     cols = [id_col, bytes_col] + ([fmt_col] if fmt_col else [])
@@ -234,11 +243,22 @@ def sample_video_frames(
                 if data is None:
                     continue
                 b = bytes(data)
-                if fmt == "rawvid":
+                if fmt in ("rawvid", "gif"):
                     try:
-                        meta = probe_rawvid(b)
-                        for i in sample_indices(meta["n_frames"], n_frames):
-                            px = decode_rawvid_frame(b, i)
+                        if fmt == "rawvid":
+                            meta = probe_rawvid(b)
+                            pairs = (
+                                (i, decode_rawvid_frame(b, i))
+                                for i in sample_indices(meta["n_frames"], n_frames)
+                            )
+                        else:
+                            # sequential decode up to the last sampled
+                            # frame (GIF frames composite on their
+                            # predecessors — there is no seek index)
+                            idxs = sample_indices(probe_gif(b)["n_frames"], n_frames)
+                            decoded = gif_frames(b, max_frames=idxs[-1] + 1)
+                            pairs = ((i, decoded[i][0]) for i in idxs)
+                        for i, px in pairs:
                             out.append(
                                 {
                                     "row_key": rk, "frame_idx": i,
