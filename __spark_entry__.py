@@ -233,15 +233,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ivf_topk_cosine(spark, sf):
-        # IVF ANN: kmeans training is not SQL-expressible → rows-only
-        # check here; recall-vs-brute-force + partition-pruning gates
-        # live in tests/test_ivf.py
+        # ORACLED (round 4): content-deterministic centroid training
+        # (sample = first IVF_SAMPLE rows by vec_id — kmeans becomes a
+        # pure function of table content, so the fixture twin re-derives
+        # the same index geometry; lsh_fixtures.ivf_fixture_centroids).
+        # The oracle independently re-assigns every vector with per-row
+        # scalar math and DuckDB recomputes cosine + top-k; recall-vs-
+        # brute-force + partition-pruning gates live in tests/test_ivf.py
+        from sinter_spark.lsh_fixtures import (
+            IVF_K, IVF_N_CLUSTERS, IVF_N_PROBE, IVF_ROUND, IVF_SAMPLE, IVF_SEED,
+        )
         from sinter_spark.operators import ivf
 
         emb = _t(spark, sf, "embeddings")
-        cents = ivf.train_centroids(emb, n_clusters=8, seed=7)
-        q = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
-        return ivf.ivf_topk(emb, cents, q, k=10, n_probe=4)
+        cents = ivf.train_centroids(
+            emb, n_clusters=IVF_N_CLUSTERS, sample_size=IVF_SAMPLE,
+            sample_order_by="vec_id", seed=IVF_SEED,
+        )
+        q = list(emb.orderBy("vec_id").select("embedding").first()["embedding"])
+        return ivf.ivf_topk(
+            emb, cents, q, k=IVF_K, n_probe=IVF_N_PROBE, round_to=IVF_ROUND
+        )
 
     def q_image_decode_features(spark, sf):
         # ORACLED (round 4): decode features over the deterministic
@@ -445,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
     # the pair derivation itself (band/block self-join, exact-cosine
     # verify) runs IN SQL
     from sinter_spark.lsh_fixtures import (
+        ivf_oracle_sql,
         minhash_oracle_sql,
         rp_lsh_oracle_sql,
         simhash_oracle_sql,
@@ -456,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": simhash_oracle_sql(),
         "rp_lsh_near_pairs": rp_lsh_oracle_sql(),
         "winnow_overlap_docs": winnow_oracle_sql(),
+        "ivf_topk_cosine": ivf_oracle_sql(),
     }
     return media_oracles | lsh_oracles | {
         "validate_events": f"""
@@ -709,8 +723,4 @@ def oracle_sql() -> dict[str, str]:
                            ('user_id','integer'), ('event_type','string'),
                            ('value','float'), ('props','string')) AS c(field, type_spec)
         """,
-        # ivf_topk_cosine: k-means training samples in scan order, so
-        # centroids are not a pure function of the table — rows-only
-        # check; tests/test_ivf.py gates recall vs brute force and
-        # partition pruning.
     }

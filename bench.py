@@ -50,6 +50,7 @@ HEADLINE = [
     "winnow_overlap_docs",
     "topk_cosine",
     "batch_topk_cosine",
+    "ivf_topk_cosine",
 ]
 
 

@@ -321,3 +321,81 @@ def rp_lsh_oracle_sql(threshold: float = 0.9, round_to: int = 5) -> str:
         "    JOIN embeddings eb ON eb.vec_id = c.id_b\n"
         f") WHERE cos_sim >= {threshold}"
     )
+
+
+# --- ivf ---------------------------------------------------------------------
+
+#: fixed hyperparameters of the oracled ``ivf_topk_cosine`` query —
+#: shared between __spark_entry__'s Spark query and the oracle twin
+IVF_N_CLUSTERS = 8
+IVF_N_PROBE = 4
+IVF_SAMPLE = 20_000
+IVF_SEED = 7
+IVF_K = 10
+IVF_ROUND = 5
+
+
+@lru_cache(maxsize=2)
+def ivf_fixture_centroids(sf_dir: str) -> np.ndarray:
+    """Centroids of the index under test: spherical k-means on the
+    content-deterministic sample (rows ordered by ``vec_id``, first
+    ``IVF_SAMPLE``) — the exact draw ``train_centroids(...,
+    sample_order_by="vec_id")`` makes, re-read here with pyarrow.
+    Like ``minhash_affine_params``, these are PARAMETERS of the
+    function under test (the index geometry), derived by the shared
+    ``kmeans_spherical``; what the oracle then checks independently is
+    everything Spark computes distributed: per-vector cluster
+    assignment, the probed-cluster restriction, exact cosine, and the
+    final top-k ordering."""
+    from .operators.ivf import kmeans_spherical
+
+    rows = sorted(
+        (r for r in _read_table(sf_dir, "embeddings", ("vec_id", "embedding"))
+         if r[1] is not None),
+        key=lambda r: r[0],
+    )[:IVF_SAMPLE]
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    return kmeans_spherical(sample, n_clusters=IVF_N_CLUSTERS, seed=IVF_SEED)
+
+
+def ivf_assign_scalar(vec, cents: np.ndarray) -> int:
+    """Nearest-centroid id of ONE embedding by cosine (normalize, dot,
+    argmax) — the per-row twin of the batch matmul in
+    ``ivf.assign_clusters``."""
+    v = np.asarray(vec, dtype=np.float64)
+    n = np.linalg.norm(v)
+    if n:
+        v = v / n
+    return int(np.argmax(cents @ v))
+
+
+def ivf_oracle_sql() -> str:
+    """DuckDB twin of ``ivf_topk_cosine``: the fixture assigns every
+    vector to its nearest centroid with per-row scalar math and embeds
+    the PROBED vec_ids as a VALUES table; DuckDB then recomputes the
+    exact cosine against the query vector (vec_id = MIN) with its own
+    ``list_cosine_similarity`` and takes the same
+    (cos_sim DESC, vec_id) top-k."""
+    from .operators.ivf import probe_clusters
+
+    sf = oracle_sf_dir()
+    cents = ivf_fixture_centroids(sf)
+    rows = _read_table(sf, "embeddings", ("vec_id", "embedding"))
+    qid = min(v for v, e in rows if e is not None)
+    qvec = next(e for v, e in rows if v == qid)
+    probes = set(probe_clusters(cents, qvec, IVF_N_PROBE))
+    kept = sorted(
+        v for v, e in rows if e is not None and ivf_assign_scalar(e, cents) in probes
+    )
+    vals = ",".join(f"({v})" for v in kept)
+    return (
+        f"WITH probed AS (SELECT CAST(vec_id AS BIGINT) AS vec_id "
+        f"FROM (VALUES {vals}) AS t(vec_id)),\n"
+        f"q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        f"WHERE vec_id = {qid})\n"
+        f"SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),\n"
+        f"                       (SELECT qv FROM q)), {IVF_ROUND}) AS cos_sim\n"
+        f"  FROM embeddings e JOIN probed p ON p.vec_id = e.vec_id\n"
+        f" ORDER BY cos_sim DESC, e.vec_id\n"
+        f" LIMIT {IVF_K}"
+    )

@@ -46,6 +46,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def kmeans_spherical(
+    sample: np.ndarray, *, n_clusters: int, n_iter: int = 20, seed: int = 7
+) -> np.ndarray:
+    """Lloyd's spherical k-means on an in-memory (n × dim) float64
+    sample: assignments by dot-product argmax on L2-normalized rows,
+    means re-normalized each round, dead centroids re-seeded from the
+    worst-served point. A pure deterministic function of (sample row
+    order, n_clusters, n_iter, seed) — shared by ``train_centroids``
+    and the DuckDB-oracle fixture twin (``lsh_fixtures``), the same
+    way ``minhash_affine_params`` is shared parameter derivation."""
+    if len(sample) < n_clusters:
+        raise ValueError(f"ivf: sample ({len(sample)}) smaller than n_clusters ({n_clusters})")
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # dead centroid: re-seed from the worst-served point
+                worst = np.argmin(np.max(x @ cents.T, axis=1))
+                cents[c] = x[worst]
+        cents = _normalize(cents)
+    return cents
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -53,6 +81,7 @@ def train_centroids(
     n_clusters: int = 16,
     sample_size: int = 20_000,
     sample_fraction: float | None = None,
+    sample_order_by: str | None = None,
     n_iter: int = 20,
     seed: int = 7,
 ) -> np.ndarray:
@@ -71,15 +100,26 @@ def train_centroids(
     bounded projection comes back through ``toPandas`` (Arrow path).
     Pass ``sample_fraction`` to use a Bernoulli row sample instead
     (first ``sample_size`` rows of the sampled stream) when per-row
-    randomness matters more than spanning coverage."""
+    randomness matters more than spanning coverage.
+
+    Pass ``sample_order_by`` (a column name) to make the sample a pure
+    function of table CONTENT: the first ``sample_size`` rows ordered
+    by that column (Spark plans orderBy+limit as TakeOrdered — a
+    per-partition top-n merge, no global sort). Centroids then become
+    reproducible across partition layouts — the mode the DuckDB oracle
+    and any run-to-run-comparable pipeline wants."""
     import pyarrow as pa  # noqa: F401 — mapInArrow batches are pyarrow
 
-    rows_df = df.select(vec_col)
-    if sample_fraction is not None:
-        rows_df = rows_df.sample(fraction=sample_fraction, seed=seed).limit(
+    if sample_order_by is not None:
+        rows_df = (
+            df.orderBy(sample_order_by).select(vec_col).limit(sample_size)
+        )
+    elif sample_fraction is not None:
+        rows_df = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(
             sample_size
         )
     else:
+        rows_df = df.select(vec_col)
         nparts = max(rows_df.rdd.getNumPartitions(), 1)
         quota = max(-(-sample_size // nparts), 1)
         ddl = f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}"
@@ -111,22 +151,9 @@ def train_centroids(
             f"embedding column first (validate_table with an array schema)"
         )
     sample = np.array(rows, dtype=np.float64)
-    if len(sample) < n_clusters:
-        raise ValueError(f"ivf: sample ({len(sample)}) smaller than n_clusters ({n_clusters})")
-    x = _normalize(sample)
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cents = x[rng.choice(len(x), size=n_clusters, replace=False)]
-    for _ in range(n_iter):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(n_clusters):
-            members = x[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-            else:  # dead centroid: re-seed from the worst-served point
-                worst = np.argmin(np.max(x @ cents.T, axis=1))
-                cents[c] = x[worst]
-        cents = _normalize(cents)
-    return cents
+    return kmeans_spherical(
+        sample, n_clusters=n_clusters, n_iter=n_iter, seed=seed
+    )
 
 
 def assign_clusters(

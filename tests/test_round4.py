@@ -290,3 +290,59 @@ class TestExactStatsNoExpand:
         got = {r["column"]: r for r in column_stats(df, approx=False).collect()}
         assert got["arr"]["n_distinct"] == 2
         assert got["x"]["n_distinct"] == 2 and got["x"]["n_nulls"] == 1
+
+
+class TestIvfOracleTwin:
+    """The ivf_topk_cosine DuckDB oracle rests on two equalities the
+    fixture cannot check in SQL: (a) the content-deterministic sample
+    mode of train_centroids reproduces the fixture's pyarrow-read
+    centroids bit-exactly, (b) the per-row scalar assignment twin
+    equals the batch Arrow matmul kernel on every vector."""
+
+    def test_ordered_sample_centroids_bitexact(self, spark, sf_dir):
+        from sinter_spark.lsh_fixtures import (
+            IVF_N_CLUSTERS, IVF_SAMPLE, IVF_SEED, ivf_fixture_centroids,
+        )
+        from sinter_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = ivf.train_centroids(
+            emb, n_clusters=IVF_N_CLUSTERS, sample_size=IVF_SAMPLE,
+            sample_order_by="vec_id", seed=IVF_SEED,
+        )
+        fix = ivf_fixture_centroids(sf_dir)
+        assert cents.shape == fix.shape
+        assert np.array_equal(cents, fix)
+
+    def test_scalar_assignment_equals_arrow_kernel(self, spark, sf_dir):
+        from sinter_spark.lsh_fixtures import (
+            ivf_assign_scalar, ivf_fixture_centroids,
+        )
+        from sinter_spark.operators import ivf
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = ivf_fixture_centroids(sf_dir)
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in ivf.assign_clusters(emb, cents).select("vec_id", "cluster_id").collect()
+        }
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        rows = list(zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()))
+        assert len(got) == len(rows)
+        mismatches = [
+            (v, got[v], ivf_assign_scalar(e, cents))
+            for v, e in rows if got[v] != ivf_assign_scalar(e, cents)
+        ]
+        assert mismatches == []
+
+    def test_ordered_sample_is_take_ordered_not_global_sort(self, spark, sf_dir):
+        # the reproducible mode must plan as TakeOrdered (per-partition
+        # top-n + driver merge), never a full global sort-exchange
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = (
+            emb.orderBy("vec_id").select("embedding").limit(50)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrdered" in plan
