@@ -204,3 +204,48 @@ def infer_schema_from_df(df, *, sample: int = 1000, min_occurrence_ratio: float 
         ratio = (row[f"nn_{f.name}"] or 0) / n
         field_specs.append((f.name, spec_for(f.dataType), {"required": ratio >= min_occurrence_ratio}))
     return Schema.define(field_specs)
+
+
+def _spec_from_json(spec: Any) -> Any:
+    """JSON type spec → the tuple form ``Schema.define`` takes:
+    lists become tuples recursively; a dict with a ``fields`` key
+    becomes a nested object Schema."""
+    if isinstance(spec, list):
+        return tuple(_spec_from_json(s) for s in spec)
+    if isinstance(spec, Mapping) and "fields" in spec:
+        return ("object", schema_from_dict(spec))
+    return spec
+
+
+def schema_from_dict(d: Mapping[str, Any]) -> Schema:
+    """Build a Schema from a JSON-expressible dict — the serialized
+    form the CLI (``python -m sinter_spark validate --schema f.json``)
+    reads::
+
+        {"title": "...", "strict": true,
+         "fields": [["w", "integer", {"gt": 0}],
+                    ["caption", "string", {"min_length": 1}],
+                    ["embedding", ["array", "float"], {"min_items": 64}],
+                    ["meta", {"fields": [["lang", "string"]]}, {"optional": true}]]}
+
+    Type specs convert lists→tuples recursively; a dict bearing
+    ``fields`` nests as an object schema. ``pre_validate`` /
+    ``post_validate`` hooks are callables and therefore library-only —
+    a hook key in the JSON raises."""
+    if "fields" not in d:
+        raise ValueError("schema dict needs a 'fields' list")
+    for hook in ("pre_validate", "post_validate"):
+        if hook in d:
+            raise ValueError(f"{hook} is a callable hook — not expressible in JSON; attach it in code")
+    specs = []
+    for spec in d["fields"]:
+        if not isinstance(spec, (list, tuple)) or len(spec) not in (2, 3):
+            raise ValueError(f"field spec must be [name, type] or [name, type, opts]: {spec!r}")
+        name, ts = spec[0], _spec_from_json(spec[1])
+        specs.append((name, ts, spec[2]) if len(spec) == 3 else (name, ts))
+    return Schema.define(
+        specs,
+        title=d.get("title"),
+        description=d.get("description"),
+        strict=bool(d.get("strict", False)),
+    )

@@ -1,0 +1,241 @@
+"""spark-submit-able CLI — the operational surface of the engine.
+
+The north-star run shape is ``spark-submit --py-files sinter_spark.zip``
+launching a validation job over a table (BASELINE.md); this module is
+that job. It works identically under plain ``python -m sinter_spark``
+(builds its own local session) and under ``spark-submit`` (reuses the
+session the launcher created):
+
+    spark-submit --py-files /tmp/sinter_spark.zip -m sinter_spark ...   # or:
+    python -m sinter_spark validate \
+        --input  /data/images.parquet \
+        --schema schema.json \
+        --row-key image_id \
+        --output  /tmp/run1 \
+        --checkpoint /tmp/ckpt --run-id nightly   # resumable
+
+Commands:
+
+* ``validate`` — one schema-validation pass (:func:`binding.bind`):
+  writes ``violations/`` (exploded rows: row_key, path, code, message,
+  context) and ``verdicts/`` (per-partition pass/fail + counts) as
+  parquet under ``--output``, plus a ``metrics.json`` summary. With
+  ``--checkpoint`` the pass runs through
+  :func:`checkpoint.run_checkpointed` in resumable bucket chunks with
+  per-bucket lineage + HLL metrics — re-running the same ``--run-id``
+  after a crash resumes from the first unfinished bucket.
+* ``stats`` — one-pass column stats (:func:`operators.stats.column_stats`)
+  to ``stats/`` parquet + ``metrics.json``.
+* ``image-suite`` — the full image+caption constraint suite
+  (:func:`images.validate_images_full`: schema predicates, decode /
+  PSNR / phash / dim integrity, uniqueness, referential, drift) to
+  ``violations/`` + ``metrics.json``.
+
+Schemas come from JSON (:func:`api.schema_from_dict`); hooks are
+callables and therefore library-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _get_spark(cores: str | None):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from .session import get_spark
+
+    # None defers to get_spark's default ($SPARK_GRAFT_CPUS, else 32)
+    return get_spark(cores=cores, app_name="sinter_cli")
+
+
+def _read(spark, path: str, fmt: str, csv_header: bool):
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        return spark.read.option("header", str(csv_header).lower()).csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    raise SystemExit(f"unsupported --format {fmt!r} (parquet|csv|json)")
+
+
+def _load_schema(path: str):
+    from .api import schema_from_dict
+
+    with open(path) as f:
+        return schema_from_dict(json.load(f))
+
+
+def _write_metrics(out_dir: str, metrics: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    print(json.dumps(metrics, default=str))
+
+
+def cmd_validate(args) -> int:
+    from .binding import bind
+
+    spark = _get_spark(args.cores)
+    schema = _load_schema(args.schema)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    t0 = time.perf_counter()
+
+    if args.checkpoint:
+        from .checkpoint import CheckpointStore, read_violations, run_checkpointed
+
+        store = CheckpointStore(spark, args.checkpoint)
+        run_id = run_checkpointed(
+            df,
+            lambda sub: bind(
+                schema, sub, row_key=args.row_key, coerce=args.coerce
+            ).violations,
+            store,
+            run_id=args.run_id,
+            key_col=args.row_key,
+            n_buckets=args.n_buckets,
+            buckets_per_job=args.buckets_per_job,
+        )
+        viol = read_violations(store, run_id)
+        viol.write.mode("overwrite").parquet(os.path.join(args.output, "violations"))
+        from .checkpoint import global_distinct
+
+        agg = store.metrics(run_id).groupBy().sum("rows", "violations").collect()[0]
+        metrics = {
+            "command": "validate",
+            "mode": "checkpointed",
+            "run_id": run_id,
+            "rows": agg["sum(rows)"],
+            "violations": agg["sum(violations)"],
+            "approx_distinct_keys": global_distinct(store, run_id),
+            "buckets_done": len(store.done_buckets(run_id)),
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        }
+    else:
+        res = bind(schema, df, row_key=args.row_key, coerce=args.coerce)
+        res.flagged.persist()
+        try:
+            res.violations.write.mode("overwrite").parquet(
+                os.path.join(args.output, "violations")
+            )
+            res.verdicts.write.mode("overwrite").parquet(
+                os.path.join(args.output, "verdicts")
+            )
+            agg = res.verdicts.groupBy().sum("rows", "violations").collect()[0]
+            metrics = {
+                "command": "validate",
+                "mode": "single-pass",
+                "rows": agg["sum(rows)"],
+                "violations": agg["sum(violations)"],
+                "ok": (agg["sum(violations)"] or 0) == 0,
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+            }
+        finally:
+            res.flagged.unpersist()
+    _write_metrics(args.output, metrics)
+    return 0 if not args.fail_on_violations or not metrics.get("violations") else 2
+
+
+def cmd_stats(args) -> int:
+    from .operators.stats import column_stats
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    cols = args.cols.split(",") if args.cols else None
+    t0 = time.perf_counter()
+    st = column_stats(df, cols, approx=not args.exact)
+    st.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+    rows = [r.asDict() for r in spark.read.parquet(os.path.join(args.output, "stats")).collect()]
+    _write_metrics(
+        args.output,
+        {
+            "command": "stats",
+            "columns": len(rows),
+            "stats": rows,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
+def cmd_image_suite(args) -> int:
+    from .images import fmt_dim, validate_images_full
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    res = validate_images_full(
+        df, fmt_dim(spark), decode=not args.no_decode, check_caption=not args.no_caption
+    )
+    res.violations.write.mode("overwrite").parquet(
+        os.path.join(args.output, "violations")
+    )
+    n_viol = spark.read.parquet(os.path.join(args.output, "violations")).count()
+    _write_metrics(
+        args.output,
+        {
+            "command": "image-suite",
+            "violations": n_viol,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0 if not args.fail_on_violations or n_viol == 0 else 2
+
+
+def _common(p: argparse.ArgumentParser, *, schema: bool) -> None:
+    p.add_argument("--input", required=True, help="table path (parquet dir/file, csv, json)")
+    p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument("--csv-header", action="store_true", help="csv: first line is a header")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--cores", default=None, help="local session cores when not under spark-submit (default $SPARK_GRAFT_CPUS, else 32)")
+    if schema:
+        p.add_argument("--schema", required=True, help="schema JSON file (api.schema_from_dict format)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m sinter_spark",
+        description="sinter_spark validation jobs (spark-submit friendly)",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate", help="schema + constraint validation pass")
+    _common(v, schema=True)
+    v.add_argument("--row-key", default=None, help="column naming each row in violation output")
+    v.add_argument("--coerce", action="store_true")
+    v.add_argument("--checkpoint", default=None, help="checkpoint warehouse dir → resumable bucket chunks")
+    v.add_argument("--run-id", default=None, help="resume/run identity under --checkpoint")
+    v.add_argument("--n-buckets", type=int, default=32)
+    v.add_argument("--buckets-per-job", type=int, default=8)
+    v.add_argument("--fail-on-violations", action="store_true", help="exit 2 when any violation is found")
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("stats", help="one-pass column stats")
+    _common(s, schema=False)
+    s.add_argument("--cols", default=None, help="comma-separated columns (default: all)")
+    s.add_argument("--exact", action="store_true", help="exact distinct instead of HLL")
+    s.set_defaults(fn=cmd_stats)
+
+    i = sub.add_parser("image-suite", help="full image+caption constraint suite")
+    _common(i, schema=False)
+    i.add_argument("--no-decode", action="store_true")
+    i.add_argument("--no-caption", action="store_true")
+    i.add_argument("--fail-on-violations", action="store_true")
+    i.set_defaults(fn=cmd_image_suite)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

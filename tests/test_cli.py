@@ -1,0 +1,236 @@
+"""CLI (python -m sinter_spark / spark-submit job) — the operational
+surface: schema-from-JSON loading, validate single-pass and
+checkpoint-resumable modes, stats, image-suite, exit-code contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from sinter_spark.api import schema_from_dict
+from sinter_spark.cli import build_parser, cmd_stats, cmd_validate
+
+
+EVENTS_SCHEMA = {
+    "fields": [
+        ["event_id", "integer"],
+        ["value", "float", {"gteq": 3.0}],
+    ]
+}
+
+
+def _write_schema(tmp_path, d=EVENTS_SCHEMA):
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(d))
+    return str(p)
+
+
+class TestSchemaFromDict:
+    def test_round_trip_fields_and_options(self):
+        s = schema_from_dict(
+            {
+                "title": "t",
+                "strict": True,
+                "fields": [
+                    ["w", "integer", {"gt": 0}],
+                    ["embedding", ["array", "float"], {"min_items": 4}],
+                    ["meta", {"fields": [["lang", "string"]]}, {"optional": True}],
+                ],
+            }
+        )
+        assert s.field_names() == ["w", "embedding", "meta"]
+        assert s.config.strict is True
+        # min_items migrates into the array type spec (schema.ex:665-686)
+        assert s.fields["embedding"].type[:2] == ("array", "float")
+        assert s.fields["embedding"].type[2] == {"min_items": 4}
+
+    def test_nested_object_validates(self):
+        import sinter_spark as ss
+
+        s = schema_from_dict(
+            {"fields": [["meta", {"fields": [["lang", "string", {"min_length": 2}]]}]]}
+        )
+        ok, _, errs = ss.validate(s, {"meta": {"lang": "e"}})
+        assert not ok and errs[0].path == ("meta", "lang")
+
+    def test_hooks_rejected_in_json(self):
+        with pytest.raises(ValueError, match="post_validate"):
+            schema_from_dict({"fields": [["a", "string"]], "post_validate": "x"})
+
+    def test_missing_fields_key(self):
+        with pytest.raises(ValueError, match="fields"):
+            schema_from_dict({"strict": True})
+
+
+class TestValidateCommand:
+    def test_single_pass_matches_library(self, spark, sf_dir, tmp_path):
+        args = build_parser().parse_args(
+            [
+                "validate",
+                "--input", f"{sf_dir}/events.parquet",
+                "--schema", _write_schema(tmp_path),
+                "--row-key", "event_id",
+                "--output", str(tmp_path / "out"),
+            ]
+        )
+        rc = cmd_validate(args)
+        assert rc == 0  # no --fail-on-violations → 0 even with violations
+        metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
+        viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+        # written rows ≡ the library pass over the same schema JSON
+        from sinter_spark.binding import bind
+
+        lib = bind(
+            schema_from_dict(EVENTS_SCHEMA),
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            row_key="event_id",
+        ).violations
+        assert sorted((r["row_key"], r["code"]) for r in viol.collect()) == sorted(
+            (r["row_key"], r["code"]) for r in lib.collect()
+        )
+        assert metrics["violations"] == viol.count()
+        verdicts = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+        assert verdicts.selectExpr("sum(rows)").collect()[0][0] == metrics["rows"]
+
+    def test_fail_on_violations_exit_code(self, spark, sf_dir, tmp_path):
+        args = build_parser().parse_args(
+            [
+                "validate",
+                "--input", f"{sf_dir}/events.parquet",
+                "--schema", _write_schema(tmp_path),
+                "--row-key", "event_id",
+                "--output", str(tmp_path / "out"),
+                "--fail-on-violations",
+            ]
+        )
+        assert cmd_validate(args) == 2
+
+    def test_checkpointed_equals_single_pass_and_resumes(self, spark, sf_dir, tmp_path):
+        common = [
+            "validate",
+            "--input", f"{sf_dir}/events.parquet",
+            "--schema", _write_schema(tmp_path),
+            "--row-key", "event_id",
+        ]
+        plain = build_parser().parse_args(
+            common + ["--output", str(tmp_path / "plain")]
+        )
+        cmd_validate(plain)
+        ck = build_parser().parse_args(
+            common
+            + [
+                "--output", str(tmp_path / "ck"),
+                "--checkpoint", str(tmp_path / "wh"),
+                "--run-id", "r1",
+                "--n-buckets", "8",
+            ]
+        )
+        cmd_validate(ck)
+        m_plain = json.loads((tmp_path / "plain" / "metrics.json").read_text())
+        m_ck = json.loads((tmp_path / "ck" / "metrics.json").read_text())
+        assert m_ck["violations"] == m_plain["violations"]
+        assert m_ck["rows"] == m_plain["rows"]
+        assert m_ck["buckets_done"] == 8
+        # violations row sets identical (same row_key/code multiset)
+        a = sorted(
+            (r["row_key"], r["code"])
+            for r in spark.read.parquet(str(tmp_path / "plain" / "violations")).collect()
+        )
+        b = sorted(
+            (r["row_key"], r["code"])
+            for r in spark.read.parquet(str(tmp_path / "ck" / "violations")).collect()
+        )
+        assert a == b
+        # resume: same run-id again is a no-op replay with identical metrics
+        cmd_validate(ck)
+        m_ck2 = json.loads((tmp_path / "ck" / "metrics.json").read_text())
+        assert m_ck2["violations"] == m_ck["violations"]
+        assert m_ck2["buckets_done"] == 8
+
+
+class TestStatsCommand:
+    def test_stats_exact_matches_sql(self, spark, sf_dir, tmp_path):
+        args = build_parser().parse_args(
+            [
+                "stats",
+                "--input", f"{sf_dir}/lineitem.parquet",
+                "--output", str(tmp_path / "out"),
+                "--cols", "l_quantity",
+                "--exact",
+            ]
+        )
+        assert cmd_stats(args) == 0
+        row = spark.read.parquet(str(tmp_path / "out" / "stats")).collect()[0]
+        exp = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "count(*) n", "count(distinct l_quantity) d", "min(l_quantity) mn", "max(l_quantity) mx"
+        ).collect()[0]
+        assert row["n_rows"] == exp["n"]
+        assert row["n_distinct"] == exp["d"]
+        assert row["min_value"] == float(exp["mn"])
+        assert row["max_value"] == float(exp["mx"])
+
+
+class TestMainModule:
+    def test_module_entry_help_runs_without_spark(self):
+        # --help must not require a JVM: argparse exits 0 before any session
+        r = subprocess.run(
+            [sys.executable, "-m", "sinter_spark", "validate", "--help"],
+            capture_output=True, text=True, timeout=60,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0
+        assert "--checkpoint" in r.stdout
+
+
+class TestImageSuiteCommand:
+    def test_image_suite_over_synth_table(self, spark, tmp_path):
+        from sinter_spark.cli import cmd_image_suite
+        from sinter_spark.images import write_images
+
+        path = str(tmp_path / "imgs")
+        write_images(spark, path, n=300, seed=11, max_dim=32)
+        args = build_parser().parse_args(
+            [
+                "image-suite",
+                "--input", path,
+                "--output", str(tmp_path / "out"),
+            ]
+        )
+        rc = cmd_image_suite(args)
+        metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
+        viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+        assert metrics["violations"] == viol.count()
+        assert rc == 0
+
+
+class TestSparkSubmit:
+    def test_spark_submit_py_files_runs_validate(self, sf_dir, tmp_path):
+        """The north-star operational claim: the SAME job runs under
+        spark-submit --py-files <zip> with the package shipped as an
+        archive, no repo on PYTHONPATH."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        from run_scaling import SPARK_SUBMIT, build_zip
+
+        zpath = build_zip()
+        schema = _write_schema(tmp_path)
+        env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+        r = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zpath,
+                os.path.join(repo, "sinter_cli.py"),
+                "validate",
+                "--input", f"{sf_dir}/events.parquet",
+                "--schema", schema,
+                "--row-key", "event_id",
+                "--output", str(tmp_path / "out"),
+            ],
+            capture_output=True, text=True, timeout=300, cwd=str(tmp_path), env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
+        assert metrics["rows"] > 0
