@@ -249,3 +249,65 @@ def schema_from_dict(d: Mapping[str, Any]) -> Schema:
         description=d.get("description"),
         strict=bool(d.get("strict", False)),
     )
+
+
+def _spec_to_json(spec: Any) -> Any:
+    """Inverse of ``_spec_from_json``: tuples → lists, nested Schemas →
+    ``{"fields": ...}`` dicts, compiled regexes → their patterns."""
+    if isinstance(spec, Schema):
+        return _schema_body(spec)
+    if isinstance(spec, tuple):
+        # ("object", Schema) flattens to the nested-dict form
+        if len(spec) == 2 and spec[0] == "object" and isinstance(spec[1], Schema):
+            return _schema_body(spec[1])
+        return [_spec_to_json(s) for s in spec]
+    if isinstance(spec, dict):
+        return {k: _spec_to_json(v) for k, v in spec.items()}
+    if hasattr(spec, "pattern"):  # compiled regex
+        return spec.pattern
+    return spec
+
+
+def _schema_body(schema: Schema) -> dict[str, Any]:
+    body: dict[str, Any] = {}
+    if schema.config.title:
+        body["title"] = schema.config.title
+    if schema.config.description:
+        body["description"] = schema.config.description
+    if schema.config.strict:
+        body["strict"] = True
+    fields = []
+    for fd in schema.fields.values():
+        if fd.validate is not None:
+            raise ValueError(
+                f"field {fd.name!r} carries a callable validator — not expressible "
+                "in JSON; strip it or serialize the schema in code"
+            )
+        opts: dict[str, Any] = {"required": fd.required}
+        for k, v in fd.constraints.items():
+            opts[k] = v.pattern if hasattr(v, "pattern") else (
+                list(v) if isinstance(v, tuple) else v
+            )
+        if fd.default is not None:
+            opts["default"] = fd.default
+        if fd.description is not None:
+            opts["description"] = fd.description
+        if fd.alias is not None:
+            opts["alias"] = fd.alias
+        if fd.example is not None:
+            opts["example"] = fd.example
+        fields.append([fd.name, _spec_to_json(fd.type), opts])
+    body["fields"] = fields
+    return body
+
+
+def schema_to_dict(schema: Schema) -> dict[str, Any]:
+    """Serialize a Schema to the JSON-expressible dict
+    :func:`schema_from_dict` reads — the CLI's ``infer`` command writes
+    this form so its output feeds ``validate --schema`` directly.
+    Round-trip invariant: field names, types, required flags, and
+    constraints survive exactly; callable hooks/validators raise."""
+    for hook in ("pre_validate", "post_validate"):
+        if getattr(schema.config, hook) is not None:
+            raise ValueError(f"schema carries a callable {hook} hook — not expressible in JSON")
+    return _schema_body(schema)

@@ -26,6 +26,14 @@ Commands:
   after a crash resumes from the first unfinished bucket.
 * ``stats`` — one-pass column stats (:func:`operators.stats.column_stats`)
   to ``stats/`` parquet + ``metrics.json``.
+* ``infer`` — schema inference over a table sample
+  (:func:`api.infer_schema_from_df`) serialized via
+  :func:`api.schema_to_dict` → a ``schema.json`` that feeds
+  ``validate --schema`` directly.
+* ``drift`` — two-sample KS/PSI per numeric column against a baseline
+  snapshot (:mod:`operators.drift`): shared-range histograms persisted
+  as ``hist_current/`` + ``hist_baseline/``, per-column report in
+  ``metrics.json``, ``--fail-on-drift`` CI gate.
 * ``image-suite`` — the full image+caption constraint suite
   (:func:`images.validate_images_full`: schema predicates, decode /
   PSNR / phash / dim integrity, uniqueness, referential, drift) to
@@ -143,6 +151,86 @@ def cmd_validate(args) -> int:
     return 0 if not args.fail_on_violations or not metrics.get("violations") else 2
 
 
+def cmd_infer(args) -> int:
+    from .api import infer_schema_from_df, schema_to_dict
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    schema = infer_schema_from_df(
+        df, sample=args.sample, min_occurrence_ratio=args.min_occurrence_ratio
+    )
+    body = schema_to_dict(schema)
+    os.makedirs(args.output, exist_ok=True)
+    path = os.path.join(args.output, "schema.json")
+    with open(path, "w") as f:
+        json.dump(body, f, indent=2)
+    _write_metrics(
+        args.output,
+        {
+            "command": "infer",
+            "schema_file": path,
+            "fields": len(body["fields"]),
+            "required": sum(1 for s in body["fields"] if s[2].get("required")),
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
+def cmd_drift(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.drift import drift_report, histogram
+
+    spark = _get_spark(args.cores)
+    cur = _read(spark, args.input, args.format, args.csv_header)
+    base = _read(spark, args.baseline, args.format, args.csv_header)
+    cols = args.cols.split(",")
+    t0 = time.perf_counter()
+    # shared bin ranges spanning BOTH tables: one tiny agg per side
+    # (global min/max — broadcast-sized metadata, not a data shuffle)
+    aggs = [f(c).alias(f"{tag}_{c}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
+    rc, rb = cur.agg(*aggs).collect()[0], base.agg(*aggs).collect()[0]
+    ranges = {}
+    for c in cols:
+        lo = min(x for x in (rc[f"lo_{c}"], rb[f"lo_{c}"]) if x is not None)
+        hi = max(x for x in (rc[f"hi_{c}"], rb[f"hi_{c}"]) if x is not None)
+        ranges[c] = (float(lo), float(hi) if hi > lo else float(lo) + 1.0)
+
+    def hists(df):
+        parts = [
+            histogram(df, c, bins=args.bins, lo=ranges[c][0], hi=ranges[c][1])
+            for c in cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    hc, hb = hists(cur), hists(base)
+    hc.write.mode("overwrite").parquet(os.path.join(args.output, "hist_current"))
+    hb.write.mode("overwrite").parquet(os.path.join(args.output, "hist_baseline"))
+    report = drift_report(
+        spark.read.parquet(os.path.join(args.output, "hist_current")),
+        spark.read.parquet(os.path.join(args.output, "hist_baseline")),
+        bins=args.bins,
+        ks_threshold=args.ks_threshold,
+        psi_threshold=args.psi_threshold,
+    )
+    drifted = [r["column"] for r in report if not (r["ks_pass"] and r["psi_pass"])]
+    _write_metrics(
+        args.output,
+        {
+            "command": "drift",
+            "report": report,
+            "drifted_columns": drifted,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 2 if args.fail_on_drift and drifted else 0
+
+
 def cmd_stats(args) -> int:
     from .operators.stats import column_stats
 
@@ -216,6 +304,22 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--buckets-per-job", type=int, default=8)
     v.add_argument("--fail-on-violations", action="store_true", help="exit 2 when any violation is found")
     v.set_defaults(fn=cmd_validate)
+
+    inf = sub.add_parser("infer", help="infer a schema JSON from a table sample")
+    _common(inf, schema=False)
+    inf.add_argument("--sample", type=int, default=1000)
+    inf.add_argument("--min-occurrence-ratio", type=float, default=0.8)
+    inf.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("drift", help="KS/PSI distribution drift vs a baseline snapshot")
+    _common(d, schema=False)
+    d.add_argument("--baseline", required=True, help="baseline table path (same format)")
+    d.add_argument("--cols", required=True, help="comma-separated numeric columns")
+    d.add_argument("--bins", type=int, default=32)
+    d.add_argument("--ks-threshold", type=float, default=0.15)
+    d.add_argument("--psi-threshold", type=float, default=0.25)
+    d.add_argument("--fail-on-drift", action="store_true", help="exit 2 when any column drifts")
+    d.set_defaults(fn=cmd_drift)
 
     s = sub.add_parser("stats", help="one-pass column stats")
     _common(s, schema=False)

@@ -234,3 +234,95 @@ class TestSparkSubmit:
         assert r.returncode == 0, r.stderr[-2000:]
         metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
         assert metrics["rows"] > 0
+
+
+class TestSchemaToDict:
+    def test_round_trip_fixpoint(self):
+        from sinter_spark.api import schema_to_dict
+
+        d = {
+            "strict": True,
+            "fields": [
+                ["w", "integer", {"gt": 0, "required": True}],
+                ["cap", "string", {"min_length": 1, "format": "^[a-z]+$"}],
+                ["emb", ["array", "float"], {"min_items": 4}],
+                ["meta", {"fields": [["lang", "string"]]}, {"required": False}],
+                ["tag", "string", {"default": "x", "choices": ["x", "y"]}],
+            ],
+        }
+        d2 = schema_to_dict(schema_from_dict(d))
+        # serialize → parse → serialize is a fixpoint
+        assert schema_to_dict(schema_from_dict(json.loads(json.dumps(d2)))) == d2
+        s = schema_from_dict(d2)
+        assert s.config.strict and s.fields["tag"].required is False
+        assert s.fields["cap"].constraints["format"].pattern == "^[a-z]+$"
+
+    def test_callable_validator_rejected(self):
+        import sinter_spark as ss
+        from sinter_spark.api import schema_to_dict
+
+        s = ss.Schema.define([("a", "string", {"validate": lambda v: (True, v)})])
+        with pytest.raises(ValueError, match="callable"):
+            schema_to_dict(s)
+
+
+class TestInferCommand:
+    def test_inferred_schema_validates_own_table_clean(self, spark, sf_dir, tmp_path):
+        from sinter_spark.cli import cmd_infer
+
+        inf = build_parser().parse_args(
+            ["infer", "--input", f"{sf_dir}/events.parquet", "--output", str(tmp_path / "inf")]
+        )
+        assert cmd_infer(inf) == 0
+        body = json.loads((tmp_path / "inf" / "schema.json").read_text())
+        assert {f[0] for f in body["fields"]} == set(
+            spark.read.parquet(f"{sf_dir}/events.parquet").columns
+        )
+        val = build_parser().parse_args(
+            [
+                "validate",
+                "--input", f"{sf_dir}/events.parquet",
+                "--schema", str(tmp_path / "inf" / "schema.json"),
+                "--row-key", "event_id",
+                "--output", str(tmp_path / "val"),
+                "--fail-on-violations",
+            ]
+        )
+        assert cmd_validate(val) == 0  # a table passes its own inferred schema
+
+
+class TestDriftCommand:
+    def test_self_no_drift_and_shifted_drifts(self, spark, sf_dir, tmp_path):
+        from sinter_spark.cli import cmd_drift
+
+        ev = f"{sf_dir}/events.parquet"
+        shifted = str(tmp_path / "shifted")
+        spark.read.parquet(ev).selectExpr(
+            "event_id", "user_id", "value * 3 + 50 as value"
+        ).write.parquet(shifted)
+
+        same = build_parser().parse_args(
+            [
+                "drift", "--input", ev, "--baseline", ev,
+                "--cols", "value,user_id",
+                "--output", str(tmp_path / "same"), "--fail-on-drift",
+            ]
+        )
+        assert cmd_drift(same) == 0
+        m = json.loads((tmp_path / "same" / "metrics.json").read_text())
+        assert all(r["ks"] == 0.0 and r["psi"] == 0.0 for r in m["report"])
+
+        drifted = build_parser().parse_args(
+            [
+                "drift", "--input", shifted, "--baseline", ev,
+                "--cols", "value,user_id",
+                "--output", str(tmp_path / "drifted"), "--fail-on-drift",
+            ]
+        )
+        assert cmd_drift(drifted) == 2
+        m2 = json.loads((tmp_path / "drifted" / "metrics.json").read_text())
+        assert "value" in m2["drifted_columns"]
+        assert "user_id" not in m2["drifted_columns"]
+        # persisted histograms replay: report derives from the written files
+        hc = spark.read.parquet(str(tmp_path / "drifted" / "hist_current"))
+        assert set(r["column"] for r in hc.select("column").distinct().collect()) == {"value", "user_id"}
