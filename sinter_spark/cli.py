@@ -151,6 +151,52 @@ def cmd_validate(args) -> int:
     return 0 if not args.fail_on_violations or not metrics.get("violations") else 2
 
 
+def cmd_validate_stream(args) -> int:
+    from .streaming.validate_stream import streaming_validate
+
+    spark = _get_spark(args.cores)
+    schema = _load_schema(args.schema)
+    # streaming sources need an explicit schema: take it from a static
+    # read of the same path (metadata-only for parquet)
+    static_schema = _read(spark, args.input, args.format, args.csv_header).schema
+    reader = spark.readStream.schema(static_schema)
+    if args.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+    if args.format == "parquet":
+        sdf = reader.parquet(args.input)
+    elif args.format == "json":
+        sdf = reader.json(args.input)
+    else:
+        sdf = reader.option("header", str(args.csv_header).lower()).csv(args.input)
+    sink = os.path.join(args.output, "violations")
+    t0 = time.perf_counter()
+    q = streaming_validate(
+        schema,
+        sdf,
+        row_key=args.row_key,
+        violations_sink=sink,
+        checkpoint_dir=args.stream_checkpoint,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    try:
+        viol = spark.read.parquet(sink)
+        n_viol = viol.count()
+        epochs = viol.select("epoch_id").distinct().count()
+    except Exception:
+        n_viol, epochs = 0, 0  # no violations ever written → empty sink
+    _write_metrics(
+        args.output,
+        {
+            "command": "validate-stream",
+            "violations": n_viol,
+            "epochs": epochs,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0 if not args.fail_on_violations or n_viol == 0 else 2
+
+
 def cmd_infer(args) -> int:
     from .api import infer_schema_from_df, schema_to_dict
 
@@ -304,6 +350,18 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--buckets-per-job", type=int, default=8)
     v.add_argument("--fail-on-violations", action="store_true", help="exit 2 when any violation is found")
     v.set_defaults(fn=cmd_validate)
+
+    vs = sub.add_parser(
+        "validate-stream",
+        help="streaming validation pass (availableNow: drain new files, write, exit)",
+    )
+    _common(vs, schema=True)
+    vs.add_argument("--row-key", required=True)
+    vs.add_argument("--stream-checkpoint", required=True,
+                    help="Structured Streaming checkpoint dir — re-runs process only NEW files")
+    vs.add_argument("--max-files-per-trigger", type=int, default=None)
+    vs.add_argument("--fail-on-violations", action="store_true")
+    vs.set_defaults(fn=cmd_validate_stream)
 
     inf = sub.add_parser("infer", help="infer a schema JSON from a table sample")
     _common(inf, schema=False)

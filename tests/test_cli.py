@@ -326,3 +326,49 @@ class TestDriftCommand:
         # persisted histograms replay: report derives from the written files
         hc = spark.read.parquet(str(tmp_path / "drifted" / "hist_current"))
         assert set(r["column"] for r in hc.select("column").distinct().collect()) == {"value", "user_id"}
+
+
+class TestValidateStreamCommand:
+    def test_incremental_drain_matches_batch_total(self, spark, sf_dir, tmp_path):
+        from sinter_spark.cli import cmd_validate_stream
+
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "stream_in"
+        src.mkdir()
+        full = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # slice with pyarrow (pandas to_parquet writes TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), src / "part1.parquet")
+        schema = _write_schema(tmp_path)
+
+        def run():
+            args = build_parser().parse_args(
+                [
+                    "validate-stream",
+                    "--input", str(src),
+                    "--schema", schema,
+                    "--row-key", "event_id",
+                    "--output", str(tmp_path / "out"),
+                    "--stream-checkpoint", str(tmp_path / "sck"),
+                ]
+            )
+            return cmd_validate_stream(args), json.loads(
+                (tmp_path / "out" / "metrics.json").read_text()
+            )
+
+        rc1, m1 = run()
+        assert rc1 == 0 and m1["epochs"] == 1
+        # second batch of files → ONLY the new ones are processed
+        pq.write_table(tbl.slice(half), src / "part2.parquet")
+        rc2, m2 = run()
+        assert m2["epochs"] == 2
+        # cumulative sink equals the batch-mode total over the full table
+        from sinter_spark.binding import bind
+
+        expected = bind(
+            schema_from_dict(EVENTS_SCHEMA), full, row_key="event_id"
+        ).violations.count()
+        assert m2["violations"] == expected > m1["violations"]
