@@ -372,7 +372,12 @@ def capped_buckets_with_audit(
     subtree — invoking the audit (``dropped_mass``) re-reads the
     persisted annotation instead of re-deriving the signature subtree
     (VERDICT_r03 #7). With ``max_bucket=None`` the raw table is
-    persisted as-is and there is nothing to audit."""
+    persisted as-is and there is nothing to audit.
+
+    For candidate-PAIR derivation prefer :func:`grouped_bucket_pairs`
+    (join-free, one exchange); this helper remains the shape for
+    callers that need the capped bucket TABLE itself (e.g. custom
+    bucket-level analytics over a persisted handle)."""
     if max_bucket is None:
         handle = raw.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
         return (handle if handle is not None else raw), None, handle
@@ -392,6 +397,86 @@ def capped_buckets_with_audit(
 def _attach_drop_audit(pairs: DataFrame, audit: DataFrame | None) -> DataFrame:
     pairs._sinter_dropped = audit  # see dropped_mass
     return pairs
+
+
+def grouped_bucket_pairs(
+    raw: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    cache: bool,
+    extra_col: str | None = None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Join-free per-bucket (a < b) pair expansion — the v4 shape shared
+    by every LSH candidate path (minhash bands, hamming blocks, rp-lsh
+    blocks, winnow fingerprints).
+
+    The old self-join shape shuffles the bucket table TWICE (once per
+    join side) and, uncached, recomputes its whole subtree per side.
+    Here ONE ``groupBy(keys)`` collects each bucket's sorted member
+    array (map-side partial agg also dedups repeated members, absorbing
+    any upstream ``.distinct()``), the mega-bucket cap is enforced on
+    ``size(_ids)``, and pairs explode BUCKET-LOCALLY from the array
+    with nested ``transform``/``slice`` — one exchange for the agg,
+    zero for pair generation. ``_ids`` is a materialized row field, so
+    the inner ``slice`` re-reads a field, not a subtree (Catalyst HOFs
+    do not CSE expensive collection arguments).
+
+    Returns ``(pairs, audit, handle)``: pairs carry (id_a, id_b) —
+    plus (va, vb) when ``extra_col`` names a per-member payload column
+    (e.g. the simhash fingerprint) — and are per-bucket, NOT distinct
+    across buckets (chain ``.distinct()`` or a count-agg as the caller
+    needs). ``audit`` is the oversized-bucket table (keys +
+    ``n_members``) derived from the SAME aggregate; ``handle`` is the
+    persisted aggregate when ``cache`` (release with
+    :func:`release_cache`) so ``dropped_mass`` re-reads it instead of
+    recomputing the signature subtree. Pair volume per row is bounded
+    by ``max_bucket²`` — the cap that makes the explode row-local-safe
+    (a capless call on a degenerate corpus concentrates O(n²) structs
+    in one row; keep a cap at scale)."""
+    member = (
+        F.struct(F.col(id_col).alias("i"), F.col(extra_col).alias("v"))
+        if extra_col
+        else F.col(id_col)
+    )
+    g = (
+        raw.groupBy(*keys)
+        .agg(F.sort_array(F.collect_set(member)).alias("_ids"))
+        .withColumn("_bn", F.size("_ids"))
+    )
+    handle = g.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
+    src = handle if handle is not None else g
+    if max_bucket is not None:
+        small = src.where(F.col("_bn") <= max_bucket)
+        audit = src.where(F.col("_bn") > max_bucket).select(
+            *keys, F.col("_bn").alias("n_members")
+        )
+    else:
+        small, audit = src, None
+    ids = F.col("_ids")
+    if extra_col:
+        mk = lambda x, y: F.struct(  # noqa: E731
+            x["i"].alias("id_a"), y["i"].alias("id_b"),
+            x["v"].alias("va"), y["v"].alias("vb"),
+        )
+        out_cols = ["p.id_a", "p.id_b", "p.va", "p.vb"]
+    else:
+        mk = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
+        out_cols = ["p.id_a", "p.id_b"]
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(
+                    ids, i + F.lit(2),
+                    F.greatest(F.size(ids) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: mk(x, y),
+            ),
+        )
+    )
+    pairs = small.select(F.explode(pair_arrays).alias("p")).select(*out_cols)
+    return pairs, audit, handle
 
 
 def dropped_mass(pairs: DataFrame) -> dict:
@@ -477,24 +562,18 @@ def minhash_lsh_candidates(
     docs agreeing on ALL rows of ≥1 band meet in a bucket join.
     bands=16 × rows=4 ⇒ ~(J^4) per-band match prob: catches J ≳ 0.5.
 
-    The bucket table is persisted before the self-join so the
-    signature subtree is computed once, and buckets larger than
-    ``max_bucket`` are dropped (see :func:`_cap_buckets`); the dropped
-    mass is reportable via :func:`dropped_mass` on the result.
+    Join-free (v4): per-band buckets aggregate to one row each and
+    pairs explode bucket-locally (:func:`grouped_bucket_pairs` — the
+    signature subtree is computed once even uncached, and the bucket
+    table is never shuffled twice); buckets larger than ``max_bucket``
+    are dropped with the mass reportable via :func:`dropped_mass`.
     ``impl``: see :func:`minhash_buckets`.
     """
     raw = minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl)
-    buckets, audit, handle = capped_buckets_with_audit(
-        raw, ["band", "bucket"], max_bucket, cache
+    bucket_pairs, audit, handle = grouped_bucket_pairs(
+        raw, ["band", "bucket"], id_col, max_bucket, cache
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = bucket_pairs.distinct()
     pairs = _attach_drop_audit(pairs, audit)
     return _attach_cache(pairs, handle) if handle is not None else pairs
 
@@ -1143,18 +1222,13 @@ def hamming_block_pairs(
         sig_df, id_col, sig_col,
         n_blocks=n_blocks, block_bits=block_bits, pair_blocks=pair_blocks,
     )
-    bt, audit, handle = capped_buckets_with_audit(
-        raw, ["blk", "val"], max_bucket, cache
+    bucket_pairs, audit, handle = grouped_bucket_pairs(
+        raw, ["blk", "val"], id_col, max_bucket, cache, extra_col="_sig"
     )
-    a = bt.alias("a")
-    b = bt.alias("b")
     pairs = (
-        a.join(b, ["blk", "val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+        bucket_pairs.select(
+            "id_a", "id_b",
+            F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -18,7 +18,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .dedup import capped_buckets_with_audit  # noqa: F401  (shared cap+audit)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -274,12 +273,14 @@ def rp_lsh_near_pairs(
     into ``bands`` blocks; pairs sharing ≥1 block get their exact
     cosine verified. Recall grows with bands; cost stays near-linear.
 
-    The block table is persisted before the self-join (signature
-    subtree computed once) and blocks larger than ``max_bucket`` are
-    dropped — a degenerate embedding distribution (e.g. millions of
-    zero vectors in one block) would otherwise make the join quadratic.
-    The dropped mass is reportable via ``dedup.dropped_mass`` on the
-    result (no silent caps).
+    Join-free candidates (v4): blocks aggregate to one row per (blk,
+    val) and pairs explode bucket-locally
+    (``dedup.grouped_bucket_pairs`` — the signature subtree is computed
+    once even uncached and never shuffled twice); blocks larger than
+    ``max_bucket`` are dropped — a degenerate embedding distribution
+    (e.g. millions of zero vectors in one block) would otherwise make
+    the pair volume quadratic. The dropped mass is reportable via
+    ``dedup.dropped_mass`` on the result (no silent caps).
     """
     sigs = rp_lsh_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
     bits_per = n_planes // bands
@@ -297,15 +298,12 @@ def rp_lsh_near_pairs(
         )
     ).alias("bb")
     bt = sigs.select(id_col, blocks).select(id_col, F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
-    bt, audit, handle = capped_buckets_with_audit(bt, ["blk", "val"], max_bucket, cache)
-    a = bt.alias("a")
-    b = bt.alias("b")
-    cand = (
-        a.join(b, ["blk", "val"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    from .dedup import grouped_bucket_pairs
+
+    bucket_pairs, audit, handle = grouped_bucket_pairs(
+        bt, ["blk", "val"], id_col, max_bucket, cache
     )
+    cand = bucket_pairs.distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))

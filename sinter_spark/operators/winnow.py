@@ -22,22 +22,20 @@ Spark shape mirrors the MinHash scale path: one narrow
 ``mapInArrow`` kernel (batch-level vectorized — the batch's strings
 are hashed as ONE concatenated byte buffer, winnow windows evaluated
 with a single strided-view argmin, windows that would cross a doc
-boundary masked out; no per-doc Python loop), then the shared
-mega-bucket cap + audit (:func:`dedup.capped_buckets_with_audit`) and
-a bucket self-join. Only documents sharing a fingerprint meet in the
-join; a fingerprint shared by more than ``max_bucket`` docs (ubiquitous
-boilerplate) is dropped AND reported via ``dedup.dropped_mass``.
+boundary masked out; no per-doc Python loop), then a JOIN-FREE pair
+derivation: one ``groupBy(fp)`` collects each fingerprint's member
+array and the (a < b) pairs explode bucket-locally with array HOFs —
+only documents sharing a fingerprint ever meet, and the fingerprint
+table is never shuffled twice. A fingerprint shared by more than
+``max_bucket`` docs (ubiquitous boilerplate) is dropped AND reported
+via ``dedup.dropped_mass``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import (
-    _attach_cache,
-    _attach_drop_audit,
-    capped_buckets_with_audit,
-)
+from .dedup import _attach_cache, _attach_drop_audit
 
 
 def winnow_fingerprints(
@@ -184,27 +182,56 @@ def substring_overlap_pairs(
     candidates with structural recall for shared runs ≥ w + k − 1
     bytes (each such run contributes ≥ 1 shared fingerprint).
 
-    The distinct (id, fp) table is persisted before the self-join so
-    the kernel runs once; fingerprints shared by more than
-    ``max_bucket`` documents (ubiquitous boilerplate — a quadratic
-    join bomb) are dropped with the drop reported via
-    ``dedup.dropped_mass`` on the result ("no silent caps"). Release
-    the persisted table with ``dedup.release_cache``.
+    Join-free shape (v4): each fingerprint becomes ONE row carrying its
+    sorted member array (``groupBy(fp).collect_set`` — the map-side
+    partial agg also dedups (id, fp) repeats, absorbing the old
+    ``.distinct()`` exchange), the cap is enforced on ``size(_ids)``,
+    and the (a < b) pairs explode BUCKET-LOCALLY from the array with
+    nested ``transform``/``slice`` — no self-join, so the fingerprint
+    table is neither shuffled twice nor recomputed per join side. Two
+    exchanges total (bucket agg, pair count) vs four-plus for the
+    self-join shape. Oversized buckets (ubiquitous boilerplate — a
+    quadratic pair bomb) are dropped from the SAME aggregate and
+    reported via ``dedup.dropped_mass`` ("no silent caps"); with
+    ``cache`` the aggregated bucket table is persisted so the audit
+    re-reads it (release with ``dedup.release_cache``).
     """
-    fp = (
-        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
-        .select(id_col, "fp")
-        .distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
+        id_col, "fp"
     )
-    buckets, audit, handle = capped_buckets_with_audit(fp, ["fp"], max_bucket, cache)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(b, "fp")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    g = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .withColumn("_bn", F.size("_ids"))
+    )
+    handle = g.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
+    src = handle if handle is not None else g
+    if max_bucket is not None:
+        small = src.where(F.col("_bn") <= max_bucket)
+        audit = src.where(F.col("_bn") > max_bucket).select(
+            "fp", F.col("_bn").alias("n_members")
         )
+    else:
+        small, audit = src, None
+    ids = F.col("_ids")
+    # (a < b) pairs, bucket-locally: element i pairs with every later
+    # element (the array is sorted+distinct). `_ids` is a materialized
+    # column, so the inner slice re-reads a row field, not a subtree
+    # (Catalyst HOFs do not CSE expensive collection args).
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        small.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

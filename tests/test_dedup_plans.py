@@ -36,23 +36,26 @@ def test_minhash_buckets_zero_exchanges(spark, docs):
     assert plans.count_exchanges(b) == 0
 
 
-def test_lsh_candidate_join_reuses_persisted_buckets(spark, docs):
+def test_lsh_candidates_join_free_single_bucket_scan(spark, docs):
+    # v4 grouped shape: pairs explode bucket-locally from ONE persisted
+    # aggregated bucket table — no self-join (zero join operators in
+    # the plan), and the signature subtree never appears twice
     cand = dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=4)
     plan = plans.physical_plan(cand)
-    # both join sides read the persisted bucket table: the signature
-    # subtree (aggregate over shingles) appears zero times in the
-    # executed plan, InMemory scans appear for both sides
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("InMemoryTableScan") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
     try:
         cand.count()  # materialize to keep the persist honest
     finally:
         spark.catalog.clearCache()
 
 
-def test_simhash_candidate_join_reuses_persisted_buckets(spark, docs):
+def test_simhash_candidates_join_free_single_bucket_scan(spark, docs):
     cand = dedup.simhash_near_pairs(docs)
     plan = plans.physical_plan(cand)
-    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("InMemoryTableScan") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     spark.catalog.clearCache()
 
 
