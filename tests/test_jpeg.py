@@ -434,3 +434,53 @@ class TestProgressiveEncoder:
                 codecs.decode("pjpeg", data[:cut])
             except codecs.DecodeError:
                 pass
+
+
+class TestCRefineDifferential:
+    """The C refinement kernel (successive-approximation scans) must be
+    bit-identical to the pure-Python loop on REAL progressive streams
+    — javax.imageio's default scan script is DC-first + spectral
+    selection + successive approximation, so most entropy bits flow
+    through the refine path."""
+
+    @pytest.fixture()
+    def c_available(self):
+        from sinter_spark.images import _jpegc
+
+        if not _jpegc.available():
+            pytest.skip("no C compiler in this environment")
+
+    @pytest.mark.parametrize("quality,h,w,seed", [
+        (0.9, 64, 80, 5),
+        (0.5, 41, 53, 6),    # low quality → dense EOB runs
+        (0.97, 96, 64, 7),   # high quality → dense correction bits
+    ])
+    def test_javax_progressive_identical(self, c_available, monkeypatch, spark,
+                                         quality, h, w, seed):
+        img = smooth_img(h, w, seed=seed)
+        data = _imageio_encode(spark, img, quality=quality, progressive=True)
+        out_c = jpeg.decode_jpeg(data)
+        monkeypatch.setenv("SINTER_JPEG_NO_C", "1")
+        out_py = jpeg.decode_jpeg(data)
+        monkeypatch.delenv("SINTER_JPEG_NO_C")
+        assert np.array_equal(out_c, out_py)
+
+    def test_truncated_progressive_same_containment(self, c_available,
+                                                    monkeypatch, spark):
+        # both paths must CONTAIN a truncated refine stream (DecodeError
+        # or a decoded array) — and agree on which
+        img = smooth_img(48, 48, seed=8)
+        data = _imageio_encode(spark, img, quality=0.9, progressive=True)
+        cut = data[: int(len(data) * 0.7)]
+
+        def attempt():
+            try:
+                return ("ok", jpeg.decode_jpeg(cut).tobytes())
+            except codecs.DecodeError:
+                return ("err", None)
+
+        r_c = attempt()
+        monkeypatch.setenv("SINTER_JPEG_NO_C", "1")
+        r_py = attempt()
+        monkeypatch.delenv("SINTER_JPEG_NO_C")
+        assert r_c == r_py
