@@ -219,6 +219,57 @@ def _encode_block_ac(w: _BitWriter, coefs: np.ndarray, ac_codes: dict) -> None:
         run = 0
 
 
+def _encode_block_ac_refine(w: _BitWriter, coefs: np.ndarray, ac_codes: dict) -> None:
+    """AC successive-approximation refinement for one block (T.81
+    §G.1.2.3, the Al=0 pass against an Al=1 first pass): a correction
+    bit (|v| & 1) for every coefficient already significant at the
+    prior level (|v| ≥ 2), (run, 1)+sign placements for newly
+    significant ±1 coefficients, with ZRLs emitted lazily at the next
+    nonzero coefficient and buffered correction bits flushed after
+    each emitted symbol — exactly the bit order the decoder's advance
+    loop consumes. Per-block EOB (run of 1) carries the tail bits."""
+    run = 0
+    pending: list[int] = []
+    for i in range(1, 64):
+        v = int(coefs[i])
+        a = -v if v < 0 else v
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        if a > 1:  # significant at the prior level: one correction bit
+            pending.append(a & 1)
+            continue
+        code, ln = ac_codes[(run << 4) | 1]  # newly significant ±1
+        w.write(code, ln)
+        w.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = ac_codes[0x00]  # EOB (run of 1)
+        w.write(code, ln)
+        for b in pending:
+            w.write(b, 1)
+
+
+def _shift_toward_zero(coefs: np.ndarray) -> np.ndarray:
+    """Al=1 point transform over (..., 64) zigzag blocks: AC magnitudes
+    shift toward zero (T.81 §G.1.2.1 — NOT an arithmetic shift for
+    negatives); the DC slot [..., 0] uses the arithmetic shift the DC
+    path expects (decoder reconstructs pred<<1 | correction bit)."""
+    out = np.where(coefs >= 0, coefs >> 1, -((-coefs) >> 1)).astype(coefs.dtype)
+    out[..., 0] = coefs[..., 0] >> 1
+    return out
+
+
 def _encode_block(
     w: _BitWriter, coefs: np.ndarray, pred: int,
     dc_codes: dict, ac_codes: dict,
@@ -356,41 +407,76 @@ def encode_jpeg(
     mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     if progressive:
-        # scan 1: interleaved DC (Ss=0 Se=0), dummy blocks edge-clamped
+        # Successive-approximation scan script (v4 — the shape libjpeg
+        # and javax emit, so the MEASURED pjpeg share exercises the
+        # refinement decode path): DC first at Al=1, per-component AC
+        # bands at Al=1, then DC refinement (1 bit/block) and
+        # per-component AC refinement (T.81 §G.1.2). Coefficients
+        # reconstruct exactly ((|v|>>1)<<1 + correction bit = v), so
+        # pixels remain identical to baseline after a full decode.
+        shifted = [_shift_toward_zero(g.reshape(-1, 64)).reshape(g.shape)
+                   for g in coef_grids]
+
+        def _dc_scan(al_first: bool) -> bytes:
+            bw = _BitWriter()
+            preds = [0] * ncomp
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for ci in range(ncomp):
+                        hs, vs = samp[ci]
+                        ti = 0 if ci == 0 else 1
+                        grid = shifted[ci] if al_first else coef_grids[ci]
+                        for by_ in range(vs):
+                            for bx_ in range(hs):
+                                r_ = min(my * vs + by_, grid.shape[0] - 1)
+                                c_ = min(mx * hs + bx_, grid.shape[1] - 1)
+                                if al_first:
+                                    preds[ci] = _encode_block_dc(
+                                        bw, grid[r_, c_], preds[ci], dc_tbls[ti]
+                                    )
+                                else:  # refinement: bit 0 of the true DC
+                                    bw.write(int(grid[r_, c_][0]) & 1, 1)
+            bw.pad_to_byte()
+            return bytes(bw.out)
+
+        # scan 1: interleaved DC first pass (Ss=0 Se=0 Ah=0 Al=1)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
         for ci in range(ncomp):
             ti = 0 if ci == 0 else 1
             out += bytes([ci + 1, ti << 4])
-        out += b"\x00\x00\x00"  # Ss=0 Se=0 Ah/Al=0
-        bw = _BitWriter()
-        preds = [0] * ncomp
-        for my in range(mcy):
-            for mx in range(mcx):
-                for ci in range(ncomp):
-                    hs, vs = samp[ci]
-                    grid = coef_grids[ci]
-                    ti = 0 if ci == 0 else 1
-                    for by_ in range(vs):
-                        for bx_ in range(hs):
-                            r_ = min(my * vs + by_, grid.shape[0] - 1)
-                            c_ = min(mx * hs + bx_, grid.shape[1] - 1)
-                            preds[ci] = _encode_block_dc(
-                                bw, grid[r_, c_], preds[ci], dc_tbls[ti]
-                            )
-        bw.pad_to_byte()
-        out += bytes(bw.out)
-        # scans 2..: one full AC band per component, non-interleaved
-        # over the component's own block raster (T.81 A.2)
+        out += b"\x00\x00\x01"
+        out += _dc_scan(al_first=True)
+        # per-component AC first pass (Ss=1 Se=63 Ah=0 Al=1)
         for ci in range(ncomp):
             ti = 0 if ci == 0 else 1
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += bytes([ci + 1, ti])
-            out += b"\x01\x3f\x00"  # Ss=1 Se=63 Ah/Al=0
+            out += b"\x01\x3f\x01"
+            bw = _BitWriter()
+            grid = shifted[ci]
+            for r_ in range(grid.shape[0]):
+                for c_ in range(grid.shape[1]):
+                    _encode_block_ac(bw, grid[r_, c_], ac_tbls[ti])
+            bw.pad_to_byte()
+            out += bytes(bw.out)
+        # interleaved DC refinement (Ss=0 Se=0 Ah=1 Al=0)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += bytes([ci + 1, ti << 4])
+        out += b"\x00\x00\x10"
+        out += _dc_scan(al_first=False)
+        # per-component AC refinement (Ss=1 Se=63 Ah=1 Al=0)
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, ti])
+            out += b"\x01\x3f\x10"
             bw = _BitWriter()
             grid = coef_grids[ci]
             for r_ in range(grid.shape[0]):
                 for c_ in range(grid.shape[1]):
-                    _encode_block_ac(bw, grid[r_, c_], ac_tbls[ti])
+                    _encode_block_ac_refine(bw, grid[r_, c_], ac_tbls[ti])
             bw.pad_to_byte()
             out += bytes(bw.out)
         out += b"\xff\xd9"  # EOI

@@ -484,3 +484,56 @@ class TestCRefineDifferential:
         r_py = attempt()
         monkeypatch.delenv("SINTER_JPEG_NO_C")
         assert r_c == r_py
+
+
+class TestEncoderSuccessiveApproximation:
+    """The pjpeg scan script (v4) carries successive approximation —
+    so the MEASURED bench mix exercises the refinement decode path,
+    not just spectral selection."""
+
+    def _scan_headers(self, data: bytes):
+        out, i = [], 2
+        while i < len(data) - 1:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            m = data[i + 1]
+            if m == 0xDA:
+                ln = int.from_bytes(data[i + 2 : i + 4], "big")
+                ns = data[i + 4]
+                ss, se, ahal = data[i + 3 + 2 * ns + 2 : i + 3 + 2 * ns + 5]
+                out.append((ss, se, ahal >> 4, ahal & 15))
+                i += 2 + ln
+            elif m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+                i += 2
+            elif m == 0x00:
+                i += 2
+            else:
+                i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        return out
+
+    def test_refinement_scans_present_and_exact(self):
+        img = smooth_img(48, 56, seed=31)
+        data = jpeg.encode_jpeg(img, quality=88, progressive=True)
+        scans = self._scan_headers(data)
+        # DC first (Al=1), AC firsts (Al=1), DC refine (Ah=1), AC refines (Ah=1)
+        assert (0, 0, 0, 1) in scans
+        assert (1, 63, 0, 1) in scans
+        assert (0, 0, 1, 0) in scans
+        assert (1, 63, 1, 0) in scans
+        # exactness: SA reconstruction ≡ baseline decode
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=88))
+        assert np.array_equal(base, jpeg.decode_jpeg(data))
+
+    def test_sa_streams_c_equals_python(self, monkeypatch):
+        from sinter_spark.images import _jpegc
+
+        if not _jpegc.available():
+            pytest.skip("no C compiler")
+        img = smooth_img(41, 33, seed=32)
+        data = jpeg.encode_jpeg(img, quality=95, subsampling="420", progressive=True)
+        out_c = jpeg.decode_jpeg(data)
+        monkeypatch.setenv("SINTER_JPEG_NO_C", "1")
+        out_py = jpeg.decode_jpeg(data)
+        monkeypatch.delenv("SINTER_JPEG_NO_C")
+        assert np.array_equal(out_c, out_py)
