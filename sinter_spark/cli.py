@@ -89,6 +89,8 @@ def _write_metrics(out_dir: str, metrics: dict) -> None:
 
 
 def cmd_validate(args) -> int:
+    if args.checkpoint and not args.row_key:
+        raise SystemExit("--checkpoint needs --row-key (the bucket lineage key)")
     from .binding import bind
 
     spark = _get_spark(args.cores)
@@ -240,8 +242,10 @@ def cmd_drift(args) -> int:
     rc, rb = cur.agg(*aggs).collect()[0], base.agg(*aggs).collect()[0]
     ranges = {}
     for c in cols:
-        lo = min(x for x in (rc[f"lo_{c}"], rb[f"lo_{c}"]) if x is not None)
-        hi = max(x for x in (rc[f"hi_{c}"], rb[f"hi_{c}"]) if x is not None)
+        bounds = [x for x in (rc[f"lo_{c}"], rb[f"lo_{c}"], rc[f"hi_{c}"], rb[f"hi_{c}"]) if x is not None]
+        if not bounds:
+            raise SystemExit(f"drift: column {c!r} is all-null in both tables")
+        lo, hi = min(bounds), max(bounds)
         ranges[c] = (float(lo), float(hi) if hi > lo else float(lo) + 1.0)
 
     def hists(df):
