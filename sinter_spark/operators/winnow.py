@@ -182,56 +182,29 @@ def substring_overlap_pairs(
     candidates with structural recall for shared runs ≥ w + k − 1
     bytes (each such run contributes ≥ 1 shared fingerprint).
 
-    Join-free shape (v4): each fingerprint becomes ONE row carrying its
-    sorted member array (``groupBy(fp).collect_set`` — the map-side
-    partial agg also dedups (id, fp) repeats, absorbing the old
-    ``.distinct()`` exchange), the cap is enforced on ``size(_ids)``,
-    and the (a < b) pairs explode BUCKET-LOCALLY from the array with
-    nested ``transform``/``slice`` — no self-join, so the fingerprint
-    table is neither shuffled twice nor recomputed per join side. Two
-    exchanges total (bucket agg, pair count) vs four-plus for the
-    self-join shape. Oversized buckets (ubiquitous boilerplate — a
-    quadratic pair bomb) are dropped from the SAME aggregate and
-    reported via ``dedup.dropped_mass`` ("no silent caps"); with
-    ``cache`` the aggregated bucket table is persisted so the audit
-    re-reads it (release with ``dedup.release_cache``).
+    Join-free shape (v4, via :func:`dedup.grouped_bucket_pairs`): each
+    fingerprint becomes ONE row carrying its sorted member array (the
+    map-side partial collect_set also dedups (id, fp) repeats,
+    absorbing the old ``.distinct()`` exchange), the cap is enforced on
+    the aggregated size, and the (a < b) pairs explode BUCKET-LOCALLY —
+    no self-join, so the fingerprint table is neither shuffled twice
+    nor recomputed per join side. Two exchanges total (bucket agg, pair
+    count). Oversized buckets (ubiquitous boilerplate — a quadratic
+    pair bomb) are dropped from the SAME aggregate and reported via
+    ``dedup.dropped_mass`` ("no silent caps"); with ``cache`` the
+    aggregated bucket table is persisted so the audit re-reads it
+    (release with ``dedup.release_cache``).
     """
-    from pyspark.storagelevel import StorageLevel
+    from .dedup import grouped_bucket_pairs
 
     fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         id_col, "fp"
     )
-    g = (
-        fp.groupBy("fp")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
-        .withColumn("_bn", F.size("_ids"))
-    )
-    handle = g.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
-    src = handle if handle is not None else g
-    if max_bucket is not None:
-        small = src.where(F.col("_bn") <= max_bucket)
-        audit = src.where(F.col("_bn") > max_bucket).select(
-            "fp", F.col("_bn").alias("n_members")
-        )
-    else:
-        small, audit = src, None
-    ids = F.col("_ids")
-    # (a < b) pairs, bucket-locally: element i pairs with every later
-    # element (the array is sorted+distinct). `_ids` is a materialized
-    # column, so the inner slice re-reads a row field, not a subtree
-    # (Catalyst HOFs do not CSE expensive collection args).
-    pair_arrays = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    bucket_pairs, audit, handle = grouped_bucket_pairs(
+        fp, ["fp"], id_col, max_bucket, cache
     )
     pairs = (
-        small.select(F.explode(pair_arrays).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        bucket_pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
