@@ -329,29 +329,6 @@ def _attach_cache(pairs: DataFrame, cached: DataFrame) -> DataFrame:
     return pairs
 
 
-def _cap_buckets(
-    buckets: DataFrame, keys: list[str], max_bucket: int | None
-) -> DataFrame:
-    """Drop LSH buckets larger than max_bucket (mega-bucket guard).
-
-    A degenerate corpus (millions of near-empty/boilerplate docs in
-    one band-bucket) makes the candidate self-join quadratic in the
-    largest bucket. Oversized buckets are dropped — their members are
-    exact or near-exact duplicates that exact_dup_groups already
-    catches; use :func:`oversized_buckets` to audit dropped mass.
-    The window shuffle partitions by the same keys the candidate join
-    needs, so the cap adds no extra exchange to the join side.
-    """
-    if max_bucket is None:
-        return buckets
-    w = Window.partitionBy(*keys)
-    return (
-        buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
-
-
 def oversized_buckets(
     buckets: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:
@@ -361,37 +338,6 @@ def oversized_buckets(
         .agg(F.count(F.lit(1)).alias("n_members"))
         .where(F.col("n_members") > max_bucket)
     )
-
-
-def capped_buckets_with_audit(
-    raw: DataFrame, keys: list[str], max_bucket: int | None, cache: bool
-) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
-    """(buckets, audit, persisted_handle): annotate bucket sizes ONCE,
-    persist the annotated table when ``cache``, and derive BOTH the
-    capped bucket table and the oversized-bucket audit from that same
-    subtree — invoking the audit (``dropped_mass``) re-reads the
-    persisted annotation instead of re-deriving the signature subtree
-    (VERDICT_r03 #7). With ``max_bucket=None`` the raw table is
-    persisted as-is and there is nothing to audit.
-
-    For candidate-PAIR derivation prefer :func:`grouped_bucket_pairs`
-    (join-free, one exchange); this helper remains the shape for
-    callers that need the capped bucket TABLE itself (e.g. custom
-    bucket-level analytics over a persisted handle)."""
-    if max_bucket is None:
-        handle = raw.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
-        return (handle if handle is not None else raw), None, handle
-    w = Window.partitionBy(*keys)
-    ann = raw.withColumn("_bn", F.count(F.lit(1)).over(w))
-    if cache:
-        ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = ann.where(F.col("_bn") <= max_bucket).drop("_bn")
-    audit = (
-        ann.where(F.col("_bn") > max_bucket)
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_members"))
-    )
-    return buckets, audit, ann if cache else None
 
 
 def _attach_drop_audit(pairs: DataFrame, audit: DataFrame | None) -> DataFrame:
@@ -1201,10 +1147,11 @@ def hamming_block_pairs(
       2·block_bits key space while keeping the recall bound.
 
     Scale notes: the bucket table is a narrow projection of the
-    signature (computed once — persisted when ``cache``); buckets above
-    ``max_bucket`` are dropped (:func:`_cap_buckets` — degenerate
-    fingerprint clusters are exact duplicates that exact dedup owns;
-    the dropped mass is reportable via :func:`dropped_mass`).
+    signature, aggregated once (:func:`grouped_bucket_pairs` — persisted
+    when ``cache``); buckets above ``max_bucket`` are dropped
+    (degenerate fingerprint clusters are exact duplicates that exact
+    dedup owns; the dropped mass is reportable via
+    :func:`dropped_mass`).
     At extreme corpus sizes raise block_bits / switch to a wider
     fingerprint rather than lowering the cap: the key-space must stay
     ≫ corpus/max_bucket."""
