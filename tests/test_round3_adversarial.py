@@ -93,11 +93,26 @@ class TestJpegProperty:
         img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100, subsampling=sub))
         assert out.shape == img.shape
-        # 444 measures ~53 dB on noise (pure DCT rounding). 420 measures
-        # ~13 dB on PER-PIXEL noise because 2×2 chroma averaging cannot
-        # represent it — a property of the subsampling format itself
-        # (any codec shows this), so the bound only asserts sanity there.
-        floor = 48.0 if sub == "444" else 12.0
+        # The q100 invariant that holds regardless of subsampling is on
+        # the LUMA plane: the luma quant table is all-ones, so the Y
+        # stored in the stream is pure DCT rounding (~48+ dB even on
+        # white noise). Recomputing luma from the decoded RGB adds one
+        # confound: out-of-gamut chroma gets clipped in RGB space, and
+        # that clipping leaks into the recomputed Y (empirical min over
+        # a 1500-case sweep at h,w∈[4,33]: 40.3 dB) — so the floor is
+        # 36 dB, comfortably above any real codec defect (a luma-table
+        # or entropy bug lands below 20 dB). Whole-image PSNR under
+        # 4:2:0 is dominated by 2×2 chroma averaging — a property of
+        # the format itself, and on per-pixel noise at tiny heights
+        # (chroma plane only 2 rows) it dips below 12 dB (hypothesis:
+        # seed=8605, h=4, w=18 → 11.86 dB) — so 420 only gets a ~10 dB
+        # whole-image sanity floor.
+        def luma(a):
+            f = a.astype(np.float64)
+            return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+        assert codecs.psnr(luma(img), luma(out)) >= 36.0
+        floor = 48.0 if sub == "444" else 10.0
         assert codecs.psnr(img, out) >= floor
 
     @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
