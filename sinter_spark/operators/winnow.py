@@ -182,18 +182,18 @@ def substring_overlap_pairs(
     candidates with structural recall for shared runs ≥ w + k − 1
     bytes (each such run contributes ≥ 1 shared fingerprint).
 
-    Join-free shape (v4, via :func:`dedup.grouped_bucket_pairs`): each
-    fingerprint becomes ONE row carrying its sorted member array (the
-    map-side partial collect_set also dedups (id, fp) repeats,
-    absorbing the old ``.distinct()`` exchange), the cap is enforced on
-    the aggregated size, and the (a < b) pairs explode BUCKET-LOCALLY —
-    no self-join, so the fingerprint table is neither shuffled twice
-    nor recomputed per join side. Two exchanges total (bucket agg, pair
-    count). Oversized buckets (ubiquitous boilerplate — a quadratic
-    pair bomb) are dropped from the SAME aggregate and reported via
+    Self-join-free shape (v4, via :func:`dedup.grouped_bucket_pairs`;
+    v5 concentration-proofed): the (id, fp) member table is dedup'd
+    and counted per fingerprint, oversized fingerprints (ubiquitous
+    boilerplate — a quadratic pair bomb) are dropped by a broadcast
+    anti-join BEFORE the member arrays aggregate (no degenerate
+    fingerprint ever concentrates its membership in one aggregation
+    state), and the (a < b) pairs explode BUCKET-LOCALLY — no
+    self-join, so the fingerprint table is neither shuffled twice nor
+    recomputed per join side. Dropped fingerprints are reported via
     ``dedup.dropped_mass`` ("no silent caps"); with ``cache`` the
-    aggregated bucket table is persisted so the audit re-reads it
-    (release with ``dedup.release_cache``).
+    member table is persisted so the audit re-reads it (release with
+    ``dedup.release_cache``).
     """
     from .dedup import grouped_bucket_pairs
 

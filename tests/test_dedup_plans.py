@@ -36,26 +36,50 @@ def test_minhash_buckets_zero_exchanges(spark, docs):
     assert plans.count_exchanges(b) == 0
 
 
-def test_lsh_candidates_join_free_single_bucket_scan(spark, docs):
-    # v4 grouped shape: pairs explode bucket-locally from ONE persisted
-    # aggregated bucket table — no self-join (zero join operators in
-    # the plan), and the signature subtree never appears twice
-    cand = dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=4)
-    plan = plans.physical_plan(cand)
-    assert plan.count("InMemoryTableScan") == 1
+def _assert_capped_bucket_plan(plan: str) -> None:
+    """The round-5 concentration-proof capped shape (VERDICT_r04 #3):
+
+    * still self-join-free — no shuffled join anywhere; the ONLY join
+      is the broadcast LEFT ANTI that drops oversized keys;
+    * the collect aggregate's input IS that anti-join (pre-filtered),
+      so no degenerate key can materialize an unbounded member array
+      in one aggregation state — the tree prints parent-first, so the
+      collect must appear above the join that feeds it;
+    * both consumers (pair probe + oversized-key count build) read the
+      ONE persisted member table, never recomputing signatures.
+    """
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "LeftAnti" in plan
+    assert plan.index("collect_list") < plan.index("BroadcastHashJoin")
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_lsh_candidates_anti_join_prefiltered_collect(spark, docs):
+    cand = dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=4)
+    _assert_capped_bucket_plan(plans.physical_plan(cand))
     try:
         cand.count()  # materialize to keep the persist honest
     finally:
         spark.catalog.clearCache()
 
 
-def test_simhash_candidates_join_free_single_bucket_scan(spark, docs):
-    cand = dedup.simhash_near_pairs(docs)
+def test_lsh_candidates_capless_join_free_single_bucket_scan(spark, docs):
+    # without a cap the v4 one-aggregate shape is kept: pairs explode
+    # bucket-locally from ONE persisted aggregated bucket table — no
+    # join operators at all, signature subtree never appears twice
+    cand = dedup.minhash_lsh_candidates(
+        docs, n_hashes=16, bands=4, max_bucket=None
+    )
     plan = plans.physical_plan(cand)
     assert plan.count("InMemoryTableScan") == 1
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan
+    spark.catalog.clearCache()
+
+
+def test_simhash_candidates_anti_join_prefiltered_collect(spark, docs):
+    cand = dedup.simhash_near_pairs(docs)
+    _assert_capped_bucket_plan(plans.physical_plan(cand))
     spark.catalog.clearCache()
 
 
