@@ -26,6 +26,7 @@ from sinter_spark.operators.uniqueness import duplicate_keys
 
 _EVENT_TYPES = ["click", "view", "purchase", "signup"]
 _LI_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linenumber"]
+_LIQ_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_extendedprice"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,6 +71,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_stats_lineitem(spark, sf):
         return column_stats(_t(spark, sf, "lineitem"), _LI_COLS, approx=False)
+
+    def q_quantiles_lineitem(spark, sf):
+        # p50/p95/p99 riding the same single wide aggregate; accuracy
+        # >= n at every test SF makes the GK sketch exact — the element
+        # at 1-indexed rank ceil(p*n), which is DuckDB's quantile_disc.
+        # Value selection (not arithmetic), so doubles match exactly.
+        return column_stats(
+            _t(spark, sf, "lineitem"), _LIQ_COLS, approx=False,
+            quantiles=(0.5, 0.95, 0.99), quantile_accuracy=1_000_000,
+        )
 
     def q_dup_lineitem_orderkey(spark, sf):
         return duplicate_keys(_t(spark, sf, "lineitem"), "l_orderkey")
@@ -387,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
         "stats_lineitem": q_stats_lineitem,
+        "quantiles_lineitem": q_quantiles_lineitem,
         "dup_lineitem_orderkey": q_dup_lineitem_orderkey,
         "ref_orphan_events_users": q_ref_orphan_events_users,
         "hist_events_value": q_hist_events_value,
@@ -430,6 +442,23 @@ def oracle_sql() -> dict[str, str]:
               COUNT(DISTINCT {c}) AS n_distinct
          FROM lineitem"""
         for c in _LI_COLS
+    )
+    # quantiles: selection, not arithmetic — DuckDB's quantile_disc is
+    # the same element Spark's exact-accuracy GK sketch returns (the
+    # 1-indexed rank ceil(p*n) of the sorted non-null values), so the
+    # comparison is tolerance-free even for double columns
+    quantile_parts = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS null_rate,
+              CAST(MIN({c}) AS DOUBLE) AS min_value,
+              CAST(MAX({c}) AS DOUBLE) AS max_value,
+              COUNT(DISTINCT {c}) AS n_distinct,
+              CAST(quantile_disc({c}, 0.5) AS DOUBLE) AS q_50,
+              CAST(quantile_disc({c}, 0.95) AS DOUBLE) AS q_95,
+              CAST(quantile_disc({c}, 0.99) AS DOUBLE) AS q_99
+         FROM lineitem"""
+        for c in _LIQ_COLS
     )
     # media ground-truth oracles (round 4): literal VALUES tables of
     # generation-time expectations — DuckDB compares, Spark decodes
@@ -500,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE props IS NULL END
         """,
         "stats_lineitem": stats_parts,
+        "quantiles_lineitem": quantile_parts,
         "dup_lineitem_orderkey": """
             SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
             GROUP BY l_orderkey HAVING COUNT(*) > 1

@@ -54,17 +54,21 @@ def build_zip() -> str:
     return zpath
 
 
-def ensure_images(n: int) -> str:
+def ensure_images(n: int, mix: str = "default") -> str:
     sys.path.insert(0, REPO)
-    from sinter_spark.images.synth import RENDER_VERSION
+    from sinter_spark.images.synth import DEFAULT_FMT_MIX, JPEG_FMT_MIX, RENDER_VERSION
 
-    path = f"/tmp/sinter_scaling_images_v{RENDER_VERSION}_n{n}.parquet"
+    suffix = "" if mix == "default" else f"_{mix}"
+    path = f"/tmp/sinter_scaling_images_v{RENDER_VERSION}{suffix}_n{n}.parquet"
     if not os.path.exists(path + "/_SUCCESS"):
         from sinter_spark.session import get_spark
         from sinter_spark.images import write_images
 
         spark = get_spark(app_name="scaling_datagen")
-        write_images(spark, path, n, seed=42, max_dim=64)
+        write_images(
+            spark, path, n, seed=42, max_dim=64,
+            fmt_mix=JPEG_FMT_MIX if mix == "jpeg" else DEFAULT_FMT_MIX,
+        )
         spark.stop()
     return path
 
@@ -288,6 +292,8 @@ def run_pair(n_small: int, args, zpath: str, images: str) -> dict:
         else None,
         "target": 0.8,
         "pass": eff >= 0.8,
+        "mix": args.mix,
+        "images_n": args.images_n,
     }
     print(json.dumps(report, indent=2), flush=True)
     return report
@@ -306,7 +312,8 @@ move bytes, not just ALU ops); engine efficiency vs the binding
         if mem
         else ""
     )
-    return f"""## local[{n_small}] vs local[{n_big}]
+    mix_tag = f" — {r['mix']} fmt mix" if r.get("mix", "default") != "default" else ""
+    return f"""## local[{n_small}] vs local[{n_big}]{mix_tag}
 
 | parallelism | seconds (best) | rows/sec | foreign load peak | steal cores |
 |---|---|---|---|---|
@@ -330,7 +337,7 @@ peak same-VM foreign load during the leg, avg hypervisor steal cores
 during the leg from /proc/stat):
 N = {r['small_trials']}; 4N = {r['big_trials']}.
 
-Reproduce: `python scripts/run_scaling.py --pairs {n_small} --images-n {small['rows']} --trials {trials}`.
+Reproduce: `python scripts/run_scaling.py --pairs {n_small} --images-n {small['rows']} --trials {trials} --mix {r.get('mix', 'default')}`.
 """
 
 
@@ -343,15 +350,24 @@ def main() -> None:
     ap.add_argument("--quiet-timeout", type=float, default=1800.0, help="max seconds to wait for a quiet window")
     ap.add_argument("--dirty-load", type=float, default=4.0, help="re-run a leg whose mid-run foreign load peak exceeds this")
     ap.add_argument("--steal-cap", type=float, default=1.0, help="re-run a leg whose average hypervisor steal exceeds this many cores")
+    ap.add_argument("--mix", choices=("default", "jpeg"), default="default",
+                    help="fmt mix for the input table: default (raw/png/qjpg, byte-heavy) or jpeg "
+                         "(crawl-realistic jpeg/pjpeg/gif share — entropy decode is ALU-dense per "
+                         "byte, so this leg is decoupled from the VM's DRAM-bandwidth ceiling)")
+    ap.add_argument("--report", default="scaling_report.json", help="output JSON path (relative to repo root)")
+    ap.add_argument("--no-bench", action="store_true", help="skip writing BENCH.md (compose it separately from several reports)")
     args = ap.parse_args()
     pair_ns = [int(x) for x in args.pairs.split(",") if x.strip()]
 
     zpath = build_zip()
-    images = ensure_images(args.images_n)
+    images = ensure_images(args.images_n, args.mix)
 
     reports = [run_pair(n, args, zpath, images) for n in pair_ns]
-    with open(os.path.join(REPO, "scaling_report.json"), "w") as f:
+    with open(os.path.join(REPO, args.report), "w") as f:
         json.dump(reports, f, indent=2)
+    if args.no_bench:
+        print(f"wrote {args.report} ({[r['scaling_efficiency'] for r in reports]})")
+        return
 
     sections = "\n".join(_pair_md(r, images, args.trials) for r in reports)
     md = f"""# BENCH — scaling-efficiency evidence (north_rule)

@@ -262,14 +262,28 @@ _lib = None
 _tried = False
 
 
+def _assert_trusted(path: str) -> None:
+    """Refuse to dlopen from a path another local user could have
+    planted or modified (ADVICE r4: the cache path is predictable, and
+    a pre-existing .so would execute in every Spark worker): the entry
+    must be owned by us and not group/world-writable."""
+    st = os.stat(path, follow_symlinks=False)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise PermissionError(f"untrusted kernel cache entry: {path}")
+
+
 def _build() -> "ctypes.CDLL | None":
     tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    # per-uid cache dir: a shared temp dir lets any local user pre-create
+    # the predictable path and plant a malicious shared object
     cache = os.path.join(
-        tempfile.gettempdir(), f"sinter_jpegc_{tag}_py{sys.version_info[0]}{sys.version_info[1]}"
+        tempfile.gettempdir(),
+        f"sinter_jpegc_u{os.getuid()}_{tag}_py{sys.version_info[0]}{sys.version_info[1]}",
     )
     so_path = os.path.join(cache, "libsinterjpeg.so")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    _assert_trusted(cache)  # pre-existing dir: ours and 0o7xx only
     if not os.path.exists(so_path):
-        os.makedirs(cache, exist_ok=True)
         src_path = os.path.join(cache, "scan.c")
         with open(src_path, "w") as f:
             f.write(_SRC)
@@ -278,7 +292,9 @@ def _build() -> "ctypes.CDLL | None":
             ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src_path],
             check=True, capture_output=True, timeout=120,
         )
+        os.chmod(tmp, 0o500)
         os.replace(tmp, so_path)  # atomic: racers overwrite with identical bits
+    _assert_trusted(so_path)
     lib = ctypes.CDLL(so_path)
     rf = lib.sinter_refine_seg
     rf.restype = ctypes.c_longlong

@@ -74,6 +74,54 @@ def kmeans_spherical(
     return cents
 
 
+def _default_training_sample(df: DataFrame, vec_col: str, sample_size: int):
+    """Spanning per-partition-head sample as a pandas Series of
+    ``vec_col`` values, exactly ``sample_size`` long whenever the table
+    has that many rows (see :func:`train_centroids` docstring).
+
+    Pass 1 takes up to ``ceil(2·sample_size / n_partitions)`` rows per
+    partition (2× headroom absorbs moderate skew); a shortfall — rows
+    concentrated in few partitions — triggers ONE top-up pass that
+    skips each partition's already-taken quota and takes up to the
+    global shortfall ``s``. Fill guarantee: pass 2's per-partition cap
+    only binds when a partition alone covers ``s``, else it returns all
+    remaining rows, whose total is ≥ ``s`` when the table has
+    ``sample_size`` rows. Driver-side over-collect is bounded by
+    2·sample_size + n_partitions·s_worst, all narrow Arrow scans."""
+    import pandas as pd
+
+    rows_df = df.select(vec_col)
+    nparts = max(rows_df.rdd.getNumPartitions(), 1)
+    quota = max(-(-(2 * sample_size) // nparts), 1)
+    ddl = f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}"
+
+    def _heads(skip: int, take: int):
+        def _kernel(batches):
+            pos = 0  # rows of this partition seen so far
+            taken = 0
+            for batch in batches:
+                if taken >= take:
+                    return
+                n = batch.num_rows
+                if pos + n <= skip:
+                    pos += n
+                    continue
+                start = max(skip - pos, 0)
+                pos += n
+                batch = batch.slice(start, min(n - start, take - taken))
+                taken += batch.num_rows
+                yield batch
+
+        return _kernel
+
+    pdf = rows_df.mapInArrow(_heads(0, quota), ddl).toPandas()
+    if len(pdf) < sample_size:
+        short = sample_size - len(pdf)
+        extra = rows_df.mapInArrow(_heads(quota, short), ddl).toPandas()
+        pdf = pd.concat([pdf, extra], ignore_index=True)
+    return pdf[vec_col].iloc[:sample_size]
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -91,13 +139,22 @@ def train_centroids(
     construction; the full table never leaves the cluster.
 
     The default sample is a PER-PARTITION HEAD: every partition of the
-    scan contributes up to ``ceil(sample_size / n_partitions)`` rows
+    scan contributes up to ``ceil(2·sample_size / n_partitions)`` rows
     (one narrow ``mapInArrow`` pass that stops reading each partition
     after its quota), so the draw spans the whole table even when its
     physical order is clustered (partitioned by language/date) —
     NO full-table ``count()`` to size a fraction (at 100 TB that count
     is a full scan spent on metadata) and no per-row Python: the
     bounded projection comes back through ``toPandas`` (Arrow path).
+    The quota is over-provisioned 2× and trimmed to ``sample_size``
+    (ADVICE r4: a tight quota under-collects when partition sizes are
+    skewed — small partitions cannot donate unused quota); if skew
+    beats the headroom, ONE bounded top-up pass (skip each partition's
+    quota, take up to the global shortfall) completes the sample —
+    guaranteed full whenever the table has ``sample_size`` rows, and
+    never more than two bounded jobs, still without a count. The
+    partition count comes from ``.rdd.getNumPartitions()``, which
+    builds lineage but runs NO job.
     Pass ``sample_fraction`` to use a Bernoulli row sample instead
     (first ``sample_size`` rows of the sampled stream) when per-row
     randomness matters more than spanning coverage.
@@ -111,34 +168,18 @@ def train_centroids(
     import pyarrow as pa  # noqa: F401 — mapInArrow batches are pyarrow
 
     if sample_order_by is not None:
-        rows_df = (
+        sample_col = (
             df.orderBy(sample_order_by).select(vec_col).limit(sample_size)
-        )
+        ).toPandas()[vec_col]
     elif sample_fraction is not None:
-        rows_df = df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(
-            sample_size
-        )
+        sample_col = (
+            df.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(
+                sample_size
+            )
+        ).toPandas()[vec_col]
     else:
-        rows_df = df.select(vec_col)
-        nparts = max(rows_df.rdd.getNumPartitions(), 1)
-        quota = max(-(-sample_size // nparts), 1)
-        ddl = f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}"
-
-        def _per_partition_head(batches):
-            taken = 0
-            for batch in batches:
-                if taken >= quota:
-                    return
-                if batch.num_rows > quota - taken:
-                    batch = batch.slice(0, quota - taken)
-                taken += batch.num_rows
-                yield batch
-
-        rows_df = rows_df.mapInArrow(_per_partition_head, ddl)
-    rows = [
-        None if v is None else np.asarray(v)
-        for v in rows_df.toPandas()[vec_col]
-    ]
+        sample_col = _default_training_sample(df, vec_col, sample_size)
+    rows = [None if v is None else np.asarray(v) for v in sample_col]
     # same clear error the assignment kernel raises for the same rows —
     # a null/ragged vector in the sample would otherwise surface as an
     # opaque numpy shape error here but a labeled one at assign time

@@ -25,8 +25,26 @@ _NUMERIC = (
 )
 
 
-def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool = True) -> DataFrame:
+def column_stats(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    approx: bool = True,
+    quantiles: tuple[float, ...] | list[float] | None = None,
+    quantile_accuracy: int = 10_000,
+) -> DataFrame:
     """Long-format stats: one row per column.
+
+    ``quantiles``: optional probabilities (e.g. ``(0.5, 0.95, 0.99)``)
+    adding one ``q_<pct>`` double column per probability for numeric
+    source columns (null otherwise). They ride the SAME single wide
+    aggregate via ``percentile_approx`` — no extra pass, map-side GK
+    sketches merged treewise, so a wide table's quantile report costs
+    one scan at any scale (drift on quantiles is cheaper than full
+    histograms). ``quantile_accuracy`` is the GK sketch bound: with
+    accuracy ≥ n the sketch is exact — the element at 1-indexed rank
+    ``ceil(p·n)`` of the sorted non-null values, which a SQL oracle
+    replicates with a ROW_NUMBER window (see ``quantiles_lineitem``).
 
     ``approx=True``: HLL++ (`approx_count_distinct`, rsd 5%) riding the
     single distinct-free wide aggregate — ONE scan + ONE reduce.
@@ -38,10 +56,13 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
     wide agg WITHOUT distincts plus a canonical two-phase distinct over
     a stacked (column, value) long table: map-side partial dedup, one
     shuffle of the per-partition-distinct survivors, count per column.
-    Numerics stack as double (groupBy normalizes NaN/-0.0 exactly like
-    ``count_distinct``); other atomics stack as their injective string
-    cast. Non-atomic (array/map/struct) columns fall back to the
-    multi-distinct single agg, where string casts aren't injective.
+    Only float/double stack as double (groupBy normalizes NaN/-0.0
+    exactly like ``count_distinct``); every other atomic — including
+    the integer family and decimals, whose values past 2^53 would
+    collide in a double (ADVICE r4: {2^53, 2^53+1, 2^53+2} is three
+    values, not two) — stacks as its injective string cast. Non-atomic
+    (array/map/struct) columns fall back to the multi-distinct single
+    agg, where string casts aren't injective.
     min/max reported as doubles for numeric columns, null otherwise
     (string min/max formatting is engine-specific and breaks oracles).
     """
@@ -60,15 +81,24 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
     def _bt(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
+    qs = [float(p) for p in quantiles] if quantiles else []
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs.append(F.sum(_c(c).isNull().cast("long")).alias(f"nulls__{i}"))
         if isinstance(dtypes[c], _NUMERIC):
             aggs.append(F.min(_c(c)).cast("double").alias(f"min__{i}"))
             aggs.append(F.max(_c(c)).cast("double").alias(f"max__{i}"))
+            if qs:
+                aggs.append(
+                    F.percentile_approx(
+                        _c(c).cast("double"), qs, quantile_accuracy
+                    ).alias(f"qs__{i}")
+                )
         else:
             aggs.append(F.lit(None).cast("double").alias(f"min__{i}"))
             aggs.append(F.lit(None).cast("double").alias(f"max__{i}"))
+            if qs:
+                aggs.append(F.lit(None).cast("array<double>").alias(f"qs__{i}"))
         if approx:
             aggs.append(F.approx_count_distinct(_c(c)).alias(f"dist__{i}"))
         elif not exact_long:
@@ -78,19 +108,28 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
     def _lit(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    # stack scalars, not the sketch arrays: stack() requires bit-equal
+    # types per position and the null-literal array differs from the
+    # percentile_approx array in containsNull; element extraction is a
+    # plain nullable double on both sides
+    qcol = "".join(f", qs__{{i}}[{j}]" for j in range(len(qs)))
+    qout = "".join(f", __q{j}" for j in range(len(qs)))
+
     # unpivot wide → long with one stack expression (no extra pass)
     if exact_long:
         stack_args = ", ".join(
-            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}" for i, c in enumerate(cols)
+            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}" + qcol.format(i=i)
+            for i, c in enumerate(cols)
         )
         base = wide.selectExpr(
             "__n as n_rows",
-            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value)",
+            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value{qout})",
         )
         dists = []
+        _FLOATY = (ST.FloatType, ST.DoubleType)
         for cast_to, group in (
-            ("double", [c for c in cols if isinstance(dtypes[c], _NUMERIC)]),
-            ("string", [c for c in cols if not isinstance(dtypes[c], _NUMERIC)]),
+            ("double", [c for c in cols if isinstance(dtypes[c], _FLOATY)]),
+            ("string", [c for c in cols if not isinstance(dtypes[c], _FLOATY)]),
         ):
             if not group:
                 continue
@@ -113,12 +152,17 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
         )
     else:
         stack_args = ", ".join(
-            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}, dist__{i}" for i, c in enumerate(cols)
+            f"{_lit(c)}, nulls__{i}, min__{i}, max__{i}, dist__{i}" + qcol.format(i=i)
+            for i, c in enumerate(cols)
         )
         stacked = wide.selectExpr(
             "__n as n_rows",
-            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value, n_distinct)",
+            f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value, n_distinct{qout})",
         )
+
+    def _qname(p: float) -> str:
+        return ("q_%g" % (p * 100)).replace(".", "_")
+
     return stacked.select(
         "column",
         "n_rows",
@@ -127,6 +171,7 @@ def column_stats(df: DataFrame, cols: list[str] | None = None, *, approx: bool =
         "min_value",
         "max_value",
         "n_distinct",
+        *[F.col(f"__q{j}").alias(_qname(p)) for j, p in enumerate(qs)],
     )
 
 
