@@ -38,6 +38,17 @@ Commands:
   (:func:`images.validate_images_full`: schema predicates, decode /
   PSNR / phash / dim integrity, uniqueness, referential, drift) to
   ``violations/`` + ``metrics.json``.
+* ``dedup`` — the flagship training-data pipeline as a job (VERDICT_r04
+  #5): ``--method exact|minhash|simhash|winnow`` builds duplicate
+  evidence (``groups/`` or verified ``pairs/``), clusters it
+  (``components/``), and with ``--canonical`` writes the keep-one
+  deduped table (``canonical/``). Every mega-bucket cap drop is
+  surfaced in ``metrics.json`` (``dropped_buckets`` /
+  ``dropped_member_entries`` — no silent caps in the CLI either).
+* ``ivf build`` / ``ivf query`` — ANN index jobs: build trains
+  spherical-kmeans centroids on a bounded spanning sample and writes
+  the cluster-partitioned index; query runs batched top-k cosine over
+  a queries table against the index with partition-pruned probes.
 
 Schemas come from JSON (:func:`api.schema_from_dict`); hooks are
 callables and therefore library-only.
@@ -327,6 +338,161 @@ def cmd_image_suite(args) -> int:
     return 0 if not args.fail_on_violations or n_viol == 0 else 2
 
 
+def cmd_dedup(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators import dedup as dd
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    id_col, text_col = args.id_col, args.text_col
+    t0 = time.perf_counter()
+    n_docs = df.count()
+    metrics: dict = {"command": "dedup", "method": args.method, "docs": n_docs}
+    losers = None  # (id_col) rows to drop for the canonical output
+
+    if args.method == "exact":
+        groups = dd.exact_dup_groups(df, text_col, id_col)
+        groups.write.mode("overwrite").parquet(os.path.join(args.output, "groups"))
+        groups = spark.read.parquet(os.path.join(args.output, "groups"))
+        metrics["dup_groups"] = groups.count()
+        metrics["dup_docs"] = (
+            groups.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0]
+        )
+        if args.canonical:
+            # keep the minimum id per fingerprint; losers = the rest.
+            # Derived from the fingerprint projection (one agg + join),
+            # NOT from the capped doc_ids sample in groups/.
+            fp = df.select(F.col(id_col), dd.fingerprint(text_col).alias("fp"))
+            keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            losers = fp.join(keep, ["fp", id_col], "left_anti").select(id_col)
+    else:
+        if args.method == "minhash":
+            cand = dd.minhash_lsh_candidates(
+                df, id_col, text_col, k=args.k, max_bucket=args.max_bucket
+            )
+            pairs = dd.verify_jaccard_pairs(
+                df, cand, id_col, text_col, k=args.k, threshold=args.threshold
+            )
+            audit_src = cand
+        elif args.method == "simhash":
+            pairs = dd.simhash_near_pairs(
+                df, id_col, text_col,
+                max_hamming=args.max_hamming, max_bucket=args.max_bucket,
+            )
+            audit_src = pairs
+        elif args.method == "winnow":
+            from .operators.winnow import substring_overlap_pairs
+
+            pairs = substring_overlap_pairs(
+                df, id_col, text_col,
+                min_shared=args.min_shared, max_bucket=args.max_bucket,
+            )
+            audit_src = pairs
+        else:
+            raise SystemExit(f"unknown --method {args.method!r}")
+        pairs.select("id_a", "id_b").write.mode("overwrite").parquet(
+            os.path.join(args.output, "pairs")
+        )
+        edge = spark.read.parquet(os.path.join(args.output, "pairs"))
+        metrics["pairs"] = edge.count()
+        dropped = dd.dropped_mass(audit_src)
+        metrics["dropped_buckets"] = dropped["n_buckets"]
+        metrics["dropped_member_entries"] = dropped["n_member_entries"]
+        dd.release_cache(audit_src)
+        algo = (
+            dd.connected_components
+            if args.algorithm == "label"
+            else dd.connected_components_star
+        )
+        comp = algo(edge)
+        comp.write.mode("overwrite").parquet(os.path.join(args.output, "components"))
+        comp = spark.read.parquet(os.path.join(args.output, "components"))
+        metrics["clustered_docs"] = comp.count()
+        metrics["components"] = comp.select("component").distinct().count()
+        if args.canonical:
+            losers = comp.where(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
+
+    if losers is not None:
+        kept = df.join(losers, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(os.path.join(args.output, "canonical"))
+        metrics["kept_docs"] = spark.read.parquet(
+            os.path.join(args.output, "canonical")
+        ).count()
+        metrics["dropped_docs"] = n_docs - metrics["kept_docs"]
+    metrics["elapsed_sec"] = round(time.perf_counter() - t0, 3)
+    _write_metrics(args.output, metrics)
+    dup_evidence = metrics.get("dup_groups", metrics.get("pairs", 0))
+    return 2 if args.fail_on_dups and dup_evidence else 0
+
+
+def cmd_ivf_build(args) -> int:
+    from .operators import ivf
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    cents = ivf.train_centroids(
+        df,
+        args.vec_col,
+        n_clusters=args.n_clusters,
+        sample_size=args.sample_size,
+        seed=args.seed,
+    )
+    ivf.write_ivf_index(df, cents, args.output, vec_col=args.vec_col)
+    n_rows = spark.read.parquet(os.path.join(args.output, "data")).count()
+    _write_metrics(
+        args.output,
+        {
+            "command": "ivf-build",
+            "rows": n_rows,
+            "n_clusters": int(cents.shape[0]),
+            "dim": int(cents.shape[1]),
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
+def cmd_ivf_query(args) -> int:
+    from .operators import ivf
+
+    spark = _get_spark(args.cores)
+    queries = _read(spark, args.queries, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    cents = ivf.read_centroids(spark, args.index)
+    data = spark.read.parquet(os.path.join(args.index, "data"))
+    out = ivf.ivf_topk_batch(
+        data,
+        cents,
+        queries.select(
+            queries[args.query_id_col].alias("query_id"),
+            queries[args.vec_col].alias("embedding"),
+        ),
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        k=args.k,
+        n_probe=args.n_probe,
+        assigned=True,
+    )
+    out.write.mode("overwrite").parquet(os.path.join(args.output, "results"))
+    res = spark.read.parquet(os.path.join(args.output, "results"))
+    _write_metrics(
+        args.output,
+        {
+            "command": "ivf-query",
+            "queries": queries.count(),
+            "result_rows": res.count(),
+            "k": args.k,
+            "n_probe": args.n_probe,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
 def _common(p: argparse.ArgumentParser, *, schema: bool) -> None:
     p.add_argument("--input", required=True, help="table path (parquet dir/file, csv, json)")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
@@ -395,6 +561,55 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--no-caption", action="store_true")
     i.add_argument("--fail-on-violations", action="store_true")
     i.set_defaults(fn=cmd_image_suite)
+
+    dp = sub.add_parser(
+        "dedup", help="duplicate / near-duplicate detection + keep-one dedup"
+    )
+    _common(dp, schema=False)
+    dp.add_argument("--method", required=True,
+                    choices=["exact", "minhash", "simhash", "winnow"])
+    dp.add_argument("--id-col", default="doc_id")
+    dp.add_argument("--text-col", default="text")
+    dp.add_argument("--k", type=int, default=4, help="char shingle size (minhash)")
+    dp.add_argument("--threshold", type=float, default=0.5,
+                    help="minhash: exact-Jaccard verification threshold")
+    dp.add_argument("--max-hamming", type=int, default=3, help="simhash bit distance")
+    dp.add_argument("--min-shared", type=int, default=2,
+                    help="winnow: min shared fingerprints per pair")
+    dp.add_argument("--max-bucket", type=int, default=1000,
+                    help="LSH mega-bucket cap (drops audited in metrics.json)")
+    dp.add_argument("--algorithm", default="label", choices=["label", "star"],
+                    help="connected-components algorithm")
+    dp.add_argument("--canonical", action="store_true",
+                    help="also write canonical/ (keep-one deduped table)")
+    dp.add_argument("--fail-on-dups", action="store_true",
+                    help="exit 2 when any duplicate evidence is found")
+    dp.set_defaults(fn=cmd_dedup)
+
+    iv = sub.add_parser("ivf", help="ANN index jobs (IVF over an embedding column)")
+    ivsub = iv.add_subparsers(dest="ivf_command", required=True)
+
+    ib = ivsub.add_parser("build", help="train centroids + write the partitioned index")
+    _common(ib, schema=False)
+    ib.add_argument("--vec-col", default="embedding")
+    ib.add_argument("--n-clusters", type=int, default=16)
+    ib.add_argument("--sample-size", type=int, default=20_000)
+    ib.add_argument("--seed", type=int, default=7)
+    ib.set_defaults(fn=cmd_ivf_build)
+
+    iq = ivsub.add_parser("query", help="batched top-k cosine against a written index")
+    iq.add_argument("--index", required=True, help="index dir written by ivf build")
+    iq.add_argument("--queries", required=True, help="queries table path")
+    iq.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    iq.add_argument("--csv-header", action="store_true")
+    iq.add_argument("--output", required=True)
+    iq.add_argument("--cores", default=None)
+    iq.add_argument("--id-col", default="vec_id")
+    iq.add_argument("--vec-col", default="embedding")
+    iq.add_argument("--query-id-col", default="query_id")
+    iq.add_argument("--k", type=int, default=10)
+    iq.add_argument("--n-probe", type=int, default=4)
+    iq.set_defaults(fn=cmd_ivf_query)
     return ap
 
 

@@ -64,14 +64,26 @@ def exact_dup_groups(
     ``doc_ids`` is capped at ``max_ids`` sorted ids per group: a
     degenerate corpus (billions of copies of one doc) must not build
     an unbounded array on a single reducer. ``n_docs`` is always the
-    exact full count.
+    exact full count. The cap is enforced BEFORE aggregation state
+    (v5): a window ``row_number`` over the fingerprint ranks members
+    through a spillable external sort, and only ranks ≤ ``max_ids``
+    enter the ``collect_list`` — the old shape collected the full
+    membership and sliced afterwards, concentrating a degenerate
+    group's entire id list in one aggregation state. The aggregate
+    rides the window's partitioning (same key) — one exchange total.
     """
+    from pyspark.sql import Window
+
+    ranked = df.select(F.col(id_col), fingerprint(text_col).alias("fp")).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
+    )
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-        .groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
+            ).alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )

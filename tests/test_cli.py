@@ -372,3 +372,156 @@ class TestValidateStreamCommand:
             schema_from_dict(EVENTS_SCHEMA), full, row_key="event_id"
         ).violations.count()
         assert m2["violations"] == expected > m1["violations"]
+
+
+class TestDedupCommand:
+    def test_minhash_canonical_matches_library(self, spark, sf_dir, tmp_path):
+        from sinter_spark.cli import cmd_dedup
+        from sinter_spark.operators.dedup import dedup_canonical
+
+        out = tmp_path / "dd"
+        args = build_parser().parse_args(
+            [
+                "dedup",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(out),
+                "--method", "minhash",
+                "--canonical",
+            ]
+        )
+        assert cmd_dedup(args) == 0
+        metrics = json.loads((out / "metrics.json").read_text())
+        assert metrics["docs"] == 500
+        assert metrics["pairs"] > 0 and metrics["components"] > 0
+        # no silent caps: the drop audit is always present
+        assert "dropped_buckets" in metrics and "dropped_member_entries" in metrics
+        # keep-one output == the library's one-call dedup_canonical
+        lib = dedup_canonical(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        kept = spark.read.parquet(str(out / "canonical"))
+        assert kept.count() == metrics["kept_docs"] == lib.count()
+        assert metrics["kept_docs"] + metrics["dropped_docs"] == 500
+
+    def test_exact_method_and_exit_code(self, spark, tmp_path):
+        from sinter_spark.cli import cmd_dedup
+
+        rows = [("a", "same text"), ("b", "same text"), ("c", "other")]
+        src = tmp_path / "docs.parquet"
+        spark.createDataFrame(rows, "doc_id string, text string").write.parquet(str(src))
+        out = tmp_path / "dd"
+        args = build_parser().parse_args(
+            [
+                "dedup",
+                "--input", str(src),
+                "--output", str(out),
+                "--method", "exact",
+                "--canonical",
+                "--fail-on-dups",
+            ]
+        )
+        assert cmd_dedup(args) == 2  # dups found + --fail-on-dups
+        metrics = json.loads((out / "metrics.json").read_text())
+        assert metrics["dup_groups"] == 1 and metrics["dup_docs"] == 2
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "canonical")).collect()
+        }
+        assert kept == {"a", "c"}  # min-id canonical survives
+
+    def test_winnow_method_runs(self, spark, sf_dir, tmp_path):
+        from sinter_spark.cli import cmd_dedup
+
+        out = tmp_path / "dd"
+        args = build_parser().parse_args(
+            [
+                "dedup",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(out),
+                "--method", "winnow",
+                "--min-shared", "15",
+                "--algorithm", "star",
+            ]
+        )
+        assert cmd_dedup(args) == 0
+        metrics = json.loads((out / "metrics.json").read_text())
+        assert (out / "pairs").exists() and (out / "components").exists()
+        assert metrics["pairs"] >= 0 and "dropped_buckets" in metrics
+
+
+class TestIvfCommand:
+    def test_build_then_query(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sinter_spark.cli import cmd_ivf_build, cmd_ivf_query
+
+        idx = tmp_path / "idx"
+        args = build_parser().parse_args(
+            [
+                "ivf", "build",
+                "--input", f"{sf_dir}/embeddings.parquet",
+                "--output", str(idx),
+                "--n-clusters", "4",
+                "--sample-size", "500",
+            ]
+        )
+        assert cmd_ivf_build(args) == 0
+        m = json.loads((idx / "metrics.json").read_text())
+        assert m["rows"] == 500 and m["n_clusters"] == 4
+        # the index is partitioned by cluster_id (pruned probes)
+        assert any(p.name.startswith("cluster_id=") for p in (idx / "data").iterdir())
+
+        qsrc = tmp_path / "queries.parquet"
+        (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id").limit(3)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .write.parquet(str(qsrc))
+        )
+        qout = tmp_path / "qout"
+        args = build_parser().parse_args(
+            [
+                "ivf", "query",
+                "--index", str(idx),
+                "--queries", str(qsrc),
+                "--output", str(qout),
+                "--k", "5",
+            ]
+        )
+        assert cmd_ivf_query(args) == 0
+        qm = json.loads((qout / "metrics.json").read_text())
+        assert qm["queries"] == 3 and qm["result_rows"] == 15
+        res = spark.read.parquet(str(qout / "results"))
+        # each query's own vector is its top hit at cos_sim ~ 1
+        tops = {
+            (r["query_id"], r["vec_id"])
+            for r in res.where(F.col("cos_sim") > 0.999999).collect()
+        }
+        assert {(q, q) for q in [r["query_id"] for r in spark.read.parquet(str(qsrc)).collect()]} <= tops
+
+
+class TestDedupSparkSubmit:
+    def test_spark_submit_dedup_minhash(self, sf_dir, tmp_path):
+        """The dedup job end-to-end under spark-submit --py-files
+        (VERDICT_r04 #5: a training-data engineer runs dedup as a job)."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        from run_scaling import SPARK_SUBMIT, build_zip
+
+        zpath = build_zip()
+        env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+        r = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zpath,
+                os.path.join(repo, "sinter_cli.py"),
+                "dedup",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(tmp_path / "out"),
+                "--method", "minhash",
+                "--canonical",
+            ],
+            capture_output=True, text=True, timeout=600, cwd=str(tmp_path), env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
+        assert metrics["kept_docs"] > 0 and "dropped_buckets" in metrics
