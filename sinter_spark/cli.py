@@ -141,25 +141,13 @@ def cmd_validate(args) -> int:
         }
     else:
         res = bind(schema, df, row_key=args.row_key, coerce=args.coerce)
-        res.flagged.persist()
-        try:
-            res.violations.write.mode("overwrite").parquet(
-                os.path.join(args.output, "violations")
-            )
-            res.verdicts.write.mode("overwrite").parquet(
-                os.path.join(args.output, "verdicts")
-            )
-            agg = res.verdicts.groupBy().sum("rows", "violations").collect()[0]
-            metrics = {
-                "command": "validate",
-                "mode": "single-pass",
-                "rows": agg["sum(rows)"],
-                "violations": agg["sum(violations)"],
-                "ok": (agg["sum(violations)"] or 0) == 0,
-                "elapsed_sec": round(time.perf_counter() - t0, 3),
-            }
-        finally:
-            res.flagged.unpersist()
+        m = res.write_parquet(args.output)  # violations/ + verdicts/ + metrics.json
+        metrics = {
+            "command": "validate",
+            "mode": "single-pass",
+            **m,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        }
     _write_metrics(args.output, metrics)
     return 0 if not args.fail_on_violations or not metrics.get("violations") else 2
 

@@ -86,14 +86,23 @@ def _default_training_sample(df: DataFrame, vec_col: str, sample_size: int):
     global shortfall ``s``. Fill guarantee: pass 2's per-partition cap
     only binds when a partition alone covers ``s``, else it returns all
     remaining rows, whose total is ≥ ``s`` when the table has
-    ``sample_size`` rows. Driver-side over-collect is bounded by
-    2·sample_size + n_partitions·s_worst, all narrow Arrow scans."""
+    ``sample_size`` rows. The trim back to ``sample_size`` interleaves
+    partitions (stable sort on each row's within-partition rank, so
+    every partition's rank-0 row survives before any partition's
+    rank-1 row) — a head-trim would instead keep only the FIRST
+    partitions and lose the spanning property the pass exists for.
+    Driver-side over-collect is bounded by 2·sample_size +
+    n_partitions·s_worst, all narrow Arrow scans."""
     import pandas as pd
+    import pyarrow as pa
 
     rows_df = df.select(vec_col)
     nparts = max(rows_df.rdd.getNumPartitions(), 1)
     quota = max(-(-(2 * sample_size) // nparts), 1)
-    ddl = f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}"
+    ddl = (
+        f"{vec_col} {rows_df.schema[vec_col].dataType.simpleString()}, "
+        f"_rank int"
+    )
 
     def _heads(skip: int, take: int):
         def _kernel(batches):
@@ -107,10 +116,16 @@ def _default_training_sample(df: DataFrame, vec_col: str, sample_size: int):
                     pos += n
                     continue
                 start = max(skip - pos, 0)
+                sliced = batch.slice(start, min(n - start, take - taken))
+                ranks = pa.array(
+                    range(skip + taken, skip + taken + sliced.num_rows),
+                    type=pa.int32(),
+                )
                 pos += n
-                batch = batch.slice(start, min(n - start, take - taken))
-                taken += batch.num_rows
-                yield batch
+                taken += sliced.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    [sliced.column(0), ranks], names=[vec_col, "_rank"]
+                )
 
         return _kernel
 
@@ -119,6 +134,7 @@ def _default_training_sample(df: DataFrame, vec_col: str, sample_size: int):
         short = sample_size - len(pdf)
         extra = rows_df.mapInArrow(_heads(quota, short), ddl).toPandas()
         pdf = pd.concat([pdf, extra], ignore_index=True)
+    pdf = pdf.sort_values("_rank", kind="stable", ignore_index=True)
     return pdf[vec_col].iloc[:sample_size]
 
 
