@@ -25,6 +25,41 @@ _NUMERIC = (
 )
 
 
+def _injective_stack_expr(bt: str, dt) -> tuple[str, str]:
+    """(group, SQL expr) embedding a column injectively for exact
+    distinct counting — the cheapest lossless representation per type.
+
+    Fewer groups = fewer column-pruned source scans, and fixed-width
+    values shuffle fewer bytes than strings, so every type that embeds
+    exactly in a double or a long goes there; only genuinely variable-
+    width types pay the string cast. Injectivity per group:
+
+    * ``double``: float/double themselves (groupBy normalizes NaN and
+      -0.0 exactly like ``count_distinct``) plus byte/short/int — every
+      int32 is exactly representable in a double (< 2^53), so the r4
+      ADVICE collision (distinct longs past 2^53 merging) cannot occur.
+    * ``long``: long (identity), boolean, date (epoch days), timestamp
+      (``unix_micros`` — a plain long cast would truncate sub-second
+      digits and merge distinct instants), and decimals with precision
+      ≤ 18 via scale shift (unscaled value fits a long: 10^18 < 2^63).
+    * ``string``: everything else atomic (strings, wide decimals,
+      NTZ timestamps, …) — the injective fallback.
+    """
+    if isinstance(dt, (ST.FloatType, ST.DoubleType, ST.ByteType, ST.ShortType, ST.IntegerType)):
+        return "double", f"cast({bt} as double)"
+    if isinstance(dt, (ST.LongType, ST.BooleanType)):
+        return "long", f"cast({bt} as long)"
+    if isinstance(dt, ST.DateType):
+        return "long", f"cast(datediff({bt}, date'1970-01-01') as long)"
+    if isinstance(dt, ST.TimestampType):
+        return "long", f"unix_micros({bt})"
+    if isinstance(dt, ST.DecimalType) and dt.precision <= 18:
+        if dt.scale == 0:
+            return "long", f"cast({bt} as long)"
+        return "long", f"cast({bt} * {10 ** dt.scale} as long)"
+    return "string", f"cast({bt} as string)"
+
+
 def column_stats(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -56,13 +91,15 @@ def column_stats(
     wide agg WITHOUT distincts plus a canonical two-phase distinct over
     a stacked (column, value) long table: map-side partial dedup, one
     shuffle of the per-partition-distinct survivors, count per column.
-    Only float/double stack as double (groupBy normalizes NaN/-0.0
-    exactly like ``count_distinct``); every other atomic — including
-    the integer family and decimals, whose values past 2^53 would
-    collide in a double (ADVICE r4: {2^53, 2^53+1, 2^53+2} is three
-    values, not two) — stacks as its injective string cast. Non-atomic
-    (array/map/struct) columns fall back to the multi-distinct single
-    agg, where string casts aren't injective.
+    Each column stacks under the cheapest INJECTIVE embedding for its
+    type (``_injective_stack_expr``): int32-and-below ride the double
+    group (exact < 2^53, so the r4 ADVICE collision — {2^53, 2^53+1,
+    2^53+2} counting as two — cannot occur), longs/booleans/dates/
+    timestamps/narrow decimals the long group, and only variable-width
+    types pay a string cast. Fewer groups = fewer column-pruned source
+    scans (a float+int table stays ONE scan) and fixed-width shuffle
+    rows. Non-atomic (array/map/struct) columns fall back to the
+    multi-distinct single agg, where string casts aren't injective.
     min/max reported as doubles for numeric columns, null otherwise
     (string min/max formatting is engine-specific and breaks oracles).
     """
@@ -126,14 +163,12 @@ def column_stats(
             f"stack({len(cols)}, {stack_args}) as (column, n_nulls, min_value, max_value{qout})",
         )
         dists = []
-        _FLOATY = (ST.FloatType, ST.DoubleType)
-        for cast_to, group in (
-            ("double", [c for c in cols if isinstance(dtypes[c], _FLOATY)]),
-            ("string", [c for c in cols if not isinstance(dtypes[c], _FLOATY)]),
-        ):
-            if not group:
-                continue
-            vstack = ", ".join(f"{_lit(c)}, cast({_bt(c)} as {cast_to})" for c in group)
+        groups: dict[str, list[tuple[str, str]]] = {}
+        for c in cols:
+            grp, expr = _injective_stack_expr(_bt(c), dtypes[c])
+            groups.setdefault(grp, []).append((c, expr))
+        for group in groups.values():
+            vstack = ", ".join(f"{_lit(c)}, {expr}" for c, expr in group)
             long = df.selectExpr(
                 f"stack({len(group)}, {vstack}) as (column, value)"
             ).where(F.col("value").isNotNull())

@@ -38,6 +38,79 @@ class TestExactDistinctBigInts:
         assert got["n_distinct"] == ref == 3
 
 
+class TestInjectiveStackGroups:
+    """Exact-distinct embeddings: lossless AND minimal scan count."""
+
+    def test_timestamp_distinct_keeps_microseconds(self, spark):
+        # a plain cast(ts as long) would merge these two instants
+        df = spark.sql(
+            "select * from values (timestamp'2024-01-01 00:00:00.000001'),"
+            " (timestamp'2024-01-01 00:00:00.000002') as t(v)"
+        )
+        got = column_stats(df, approx=False).collect()[0]
+        assert got["n_distinct"] == 2
+
+    def test_narrow_decimal_scale_shift_past_2_53(self, spark):
+        # decimal(18,2) whose unscaled values straddle 2^53: the long
+        # embedding (value * 100) must keep all three distinct
+        df = spark.createDataFrame(
+            [("90071992547409.92",), ("90071992547409.93",), ("90071992547409.94",)],
+            "s string",
+        ).select(F.col("s").cast("decimal(18,2)").alias("v"))
+        got = column_stats(df, approx=False).collect()[0]
+        assert got["n_distinct"] == 3
+
+    def test_date_boolean_and_string_groups(self, spark):
+        df = spark.sql(
+            "select * from values"
+            " (date'2024-01-01', true,  'a'),"
+            " (date'2024-01-02', false, 'b'),"
+            " (date'2024-01-01', true,  'a') as t(d, b, s)"
+        )
+        rows = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+        assert rows["d"]["n_distinct"] == 2
+        assert rows["b"]["n_distinct"] == 2
+        assert rows["s"]["n_distinct"] == 2
+
+    def test_int_and_double_share_one_stack_group(self, spark):
+        # the r5 stats_lineitem regression: splitting int32 out of the
+        # double group doubled the source scans. int32 embeds exactly
+        # in a double, so a (float..int) table must stack ONCE.
+        from sinter_spark.operators.stats import _injective_stack_expr
+        from pyspark.sql import types as T
+
+        assert _injective_stack_expr("`a`", T.IntegerType())[0] == "double"
+        assert _injective_stack_expr("`a`", T.DoubleType())[0] == "double"
+        assert _injective_stack_expr("`a`", T.LongType())[0] == "long"
+        df = spark.createDataFrame(
+            [(i % 5, float(i % 7)) for i in range(30)], "a int, b double"
+        )
+        out = column_stats(df, ["a", "b"], approx=False)
+        from sinter_spark import plans
+
+        # exactly two stack generators: the base wide-agg unpivot plus
+        # ONE shared dist group (a second dist group would make three)
+        assert plans.physical_plan(out).count("stack(2") == 2
+        rows = {r["column"]: r for r in out.collect()}
+        assert rows["a"]["n_distinct"] == 5 and rows["b"]["n_distinct"] == 7
+
+    def test_matches_count_distinct_across_types(self, spark):
+        df = spark.sql(
+            "select * from values"
+            " (1, 9223372036854775807, timestamp'2020-06-01 01:02:03.000004',"
+            "  date'2020-06-01', cast(1.23 as decimal(10,2)), 'x', true),"
+            " (2, 9223372036854775806, timestamp'2020-06-01 01:02:03.000005',"
+            "  date'2020-06-02', cast(1.24 as decimal(10,2)), 'y', false),"
+            " (1, 9223372036854775807, timestamp'2020-06-01 01:02:03.000004',"
+            "  date'2020-06-01', cast(1.23 as decimal(10,2)), 'x', true)"
+            " as t(i, l, ts, d, dec, s, b)"
+        )
+        rows = {r["column"]: r for r in column_stats(df, approx=False).collect()}
+        for c in df.columns:
+            ref = df.agg(F.count_distinct(c)).collect()[0][0]
+            assert rows[c]["n_distinct"] == ref, c
+
+
 class TestStatsQuantiles:
     def test_exact_rank_semantics(self, spark):
         # accuracy >= n: the element at 1-indexed rank ceil(p*n)
