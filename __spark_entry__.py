@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sinter_spark import Schema
 from sinter_spark.binding import bind
-from sinter_spark.operators import dedup, similarity, text
+from sinter_spark.operators import dedup, packing, similarity, text
 from sinter_spark.operators.drift import histogram
 from sinter_spark.operators.referential import referential_violations
 from sinter_spark.operators.stats import column_stats
@@ -178,6 +178,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_text_quality_docs(spark, sf):
         return text.quality_features(_t(spark, sf, "documents"))
+
+    def q_pack_chunks_docs(spark, sf):
+        # concat-and-chunk sequence packing: distributed prefix sum
+        # (range shuffle + P-row driver collect + zero-shuffle Arrow
+        # cumsum), chunk span by integer division — the standard
+        # pretraining packing, exactly reproducible in window SQL
+        return packing.pack_documents(
+            _t(spark, sf, "documents"), chunk_tokens=256, num_partitions=8
+        )
+
+    def q_mix_sources_docs(spark, sf):
+        # deterministic data mixing: per-source keep-fractions via a
+        # pure-arithmetic hash of doc_id (reproducible independent of
+        # partitioning/retries — training-data lineage requirement)
+        return packing.mix_sources(
+            _t(spark, sf, "documents"),
+            {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0},
+            seed=7,
+            default_weight=0.6,
+            bucket_col="bucket",
+        ).select("doc_id", "source", F.col("bucket").cast("long").alias("bucket"))
 
     def q_langid_docs(spark, sf):
         d = _t(spark, sf, "documents")
@@ -414,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "winnow_overlap_docs": q_winnow_overlap_docs,
         "text_quality_docs": q_text_quality_docs,
+        "pack_chunks_docs": q_pack_chunks_docs,
+        "mix_sources_docs": q_mix_sources_docs,
         "langid_docs": q_langid_docs,
         "topk_cosine": q_topk_cosine,
         "batch_topk_cosine": q_batch_topk_cosine,
@@ -651,6 +674,38 @@ def oracle_sql() -> dict[str, str]:
             cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
             SELECT d.doc_id FROM documents d
              WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+        """,
+        "pack_chunks_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+                FROM documents
+               WHERE doc_id IS NOT NULL),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS start_offset
+                FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS chunk_first,
+                   (start_offset + greatest(n_tokens, 1) - 1) // 256 AS chunk_last
+              FROM o
+        """,
+        "mix_sources_docs": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     {packing.deterministic_bucket_sql('doc_id', seed=7)} AS bucket
+                FROM documents)
+            SELECT doc_id, source, bucket FROM b
+             WHERE bucket < CASE source
+                              WHEN 'src0' THEN 10000
+                              WHEN 'src1' THEN 7500
+                              WHEN 'src2' THEN 5000
+                              WHEN 'src3' THEN 2500
+                              WHEN 'src4' THEN 0
+                              ELSE 6000 END
         """,
         "text_quality_docs": r"""
             WITH feat AS (

@@ -1,0 +1,234 @@
+"""Sequence packing and deterministic source mixing for LLM pretraining.
+
+Two operators every training-data pipeline needs between "deduped
+corpus" and "training shards", absent from the reference (its scope
+stops at validation — sinter's `validate_many` hands rows onward,
+`lib/sinter.ex:1`) but first-class here per the engine charter:
+
+* ``pack_documents`` — concat-and-chunk packing: a deterministic
+  global order over documents, cumulative token offsets, and the
+  [chunk_first, chunk_last] span each document occupies when the
+  token stream is cut into fixed ``chunk_tokens`` windows. This is
+  the standard pretraining packing (concatenate everything, split
+  every C tokens) — not bin-packing — so it is exactly reproducible
+  in ANSI SQL (window cumsum) for the correctness oracle.
+
+* ``mix_sources`` — deterministic weighted down-sampling per source
+  (the "data mixing" step: keep 100% of wikipedia, 30% of crawl).
+  Membership is a pure arithmetic hash of the row key, so the same
+  row is kept or dropped on every run, on every engine — no RNG
+  state, no sampleBy non-determinism — and the oracle can replay it.
+
+100 TB design notes
+-------------------
+The global cumsum is the scale hazard: the naive
+``sum() OVER (ORDER BY id)`` window collapses to ONE partition.
+``pack_documents`` instead runs the classic distributed prefix sum:
+
+1. ``repartitionByRange(P, id)`` + ``sortWithinPartitions`` — one
+   range shuffle of a two-column projection (id, n_tokens), the only
+   exchange in the job.
+2. Per-partition token totals: a map-side-combined groupBy on the
+   partition id — P rows to the driver (P = partitions, not rows).
+3. A zero-shuffle Arrow ``mapInPandas`` pass adds the partition's
+   exclusive prefix to a partition-local vectorized cumsum.
+
+Everything downstream (chunk ids) is Column arithmetic. Zero
+row-at-a-time Python; driver traffic is O(partitions).
+
+``mix_sources`` is a pure Column expression (whole-stage codegen):
+a two-round Lehmer multiplicative hash over a 31-bit modulus, chosen
+because every intermediate fits comfortably in an int64 so DuckDB
+(which errors on overflow, unlike Spark's non-ANSI wrap) evaluates
+the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import token_count
+
+#: Lehmer / MINSTD constants: modulus 2^31-1 (prime), multiplier 48271.
+#: max intermediate = (2^31-2) * 48271 ≈ 1.04e14 « 2^63 — overflow-free
+#: in any engine's int64, which is the whole point (see module doc).
+_LEHMER_MOD = 2147483647
+_LEHMER_MUL = 48271
+
+
+def deterministic_bucket(
+    key: Column | str, seed: int = 0, buckets: int = 10000
+) -> Column:
+    """Stable pseudo-random bucket in [0, buckets) from an integer key.
+
+    Two Lehmer rounds (`x -> x*48271 mod 2^31-1`) with the seed folded
+    in between. Pure int64 arithmetic — identical results in Spark,
+    DuckDB, and plain Python (see ``deterministic_bucket_py``).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h0 = F.pmod(k.cast("long"), F.lit(_LEHMER_MOD))
+    h1 = F.pmod(h0 * _LEHMER_MUL, F.lit(_LEHMER_MOD))
+    h2 = F.pmod((h1 + F.lit(int(seed))) * _LEHMER_MUL, F.lit(_LEHMER_MOD))
+    return F.pmod(h2, F.lit(int(buckets)))
+
+
+def deterministic_bucket_py(key: int, seed: int = 0, buckets: int = 10000) -> int:
+    """Scalar twin of ``deterministic_bucket`` for tests/oracles."""
+    h0 = key % _LEHMER_MOD
+    h1 = (h0 * _LEHMER_MUL) % _LEHMER_MOD
+    h2 = ((h1 + seed) * _LEHMER_MUL) % _LEHMER_MOD
+    return h2 % buckets
+
+
+def deterministic_bucket_sql(key_expr: str, seed: int = 0, buckets: int = 10000) -> str:
+    """The same bucket as an ANSI-SQL expression (for DuckDB oracles).
+
+    Valid only for non-negative keys (``%`` vs ``pmod``); every id
+    column in this engine's tables is non-negative.
+    """
+    return (
+        f"(((({key_expr} % {_LEHMER_MOD}) * {_LEHMER_MUL} % {_LEHMER_MOD})"
+        f" + {seed}) * {_LEHMER_MUL} % {_LEHMER_MOD}) % {buckets}"
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_weight: float = 1.0,
+    bucket_col: str | None = None,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic weighted sampling per source (data mixing).
+
+    Keeps a row iff ``deterministic_bucket(key) < weight * buckets``
+    for its source's weight (sources absent from ``weights`` get
+    ``default_weight``). Weight 1.0 keeps everything, 0.0 nothing;
+    the realized fraction converges to the weight as keys spread over
+    the bucket space. Pass ``bucket_col`` to also project the bucket
+    (useful for audits / the correctness oracle).
+
+    Unlike ``df.sampleBy`` this is reproducible independent of
+    partitioning, task retries, and engine — a requirement for
+    training-data lineage (the kept-set must be re-derivable).
+    """
+    for s, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight must be in [0, 1], got {default_weight}")
+    bucket = deterministic_bucket(key_col, seed=seed, buckets=buckets)
+    threshold = F.lit(int(round(default_weight * buckets)))
+    for s, w in sorted(weights.items()):
+        threshold = F.when(F.col(source_col) == s, F.lit(int(round(w * buckets)))).otherwise(
+            threshold
+        )
+    out = df.where(bucket < threshold)
+    if bucket_col is not None:
+        out = out.withColumn(bucket_col, bucket)
+    return out
+
+
+def pack_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing over a deterministic order.
+
+    Documents are laid out end-to-end ordered by ``id_col``; the token
+    stream is cut every ``chunk_tokens``. Returns one row per document:
+
+    ``id_col, n_tokens, start_offset, chunk_first, chunk_last``
+
+    where ``start_offset`` is the exclusive cumsum of ``n_tokens`` in
+    id order and the chunk span is ``start_offset div C`` through
+    ``(start_offset + max(n_tokens,1) - 1) div C`` (a zero-token
+    document is attributed to the chunk at its offset). Token counts
+    default to the engine's BPE-ish ``token_count`` over
+    ``coalesce(text, '')``; pass ``tokens`` to override.
+
+    Scale shape (see module doc): ONE range exchange of the
+    (id, n_tokens) projection, a P-row driver collect of partition
+    totals, then a zero-shuffle Arrow cumsum pass. Never a global
+    single-partition window.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    spark = df.sparkSession
+    tok = tokens if tokens is not None else token_count(F.coalesce(F.col(text_col), F.lit("")))
+    n_part = int(
+        num_partitions
+        if num_partitions is not None
+        else spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # The totals pass and the cumsum pass must see the SAME partition
+    # assignment, so the ranged projection is persisted (two narrow
+    # columns — ~16 B/row, spills to disk) rather than trusting two
+    # separate jobs to re-sample identical range bounds. The cache is
+    # load-bearing for the returned (lazy) plan, so it is NOT
+    # unpersisted here; it lives until session eviction or an explicit
+    # `spark.catalog.clearCache()` by a memory-sensitive caller.
+    # Both columns must reach the Arrow pass null-free: a null in an
+    # int64 batch makes pandas promote it to float64, corrupting values
+    # above 2^53 (see images/kernel.py for the same hazard). Tokens are
+    # coalesced to 0; null ids have no position in a deterministic
+    # order and are excluded (callers wanting them must key them
+    # first).
+    base = (
+        df.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"))
+        .repartitionByRange(n_part, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):  # range partition 0 holds the lowest ids
+        prefix[pid] = acc
+        acc += int(totals[pid] or 0)
+
+    out_schema = f"{id_col} long, n_tokens long, start_offset long"
+
+    def _cumsum(batches):
+        running = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            if running is None:
+                running = prefix[int(b["_pid"].iloc[0])]
+            csum = b["n_tokens"].cumsum()
+            starts = running + csum - b["n_tokens"]
+            running += int(csum.iloc[-1])
+            yield type(b)(
+                {
+                    id_col: b[id_col],
+                    "n_tokens": b["n_tokens"],
+                    "start_offset": starts,
+                }
+            )
+
+    packed = base.mapInPandas(_cumsum, schema=out_schema)
+    c = int(chunk_tokens)
+    return packed.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("start_offset"),
+        F.expr(f"start_offset div {c}").alias("chunk_first"),
+        F.expr(f"(start_offset + greatest(n_tokens, 1L) - 1) div {c}").alias(
+            "chunk_last"
+        ),
+    )
