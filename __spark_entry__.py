@@ -179,6 +179,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_quality_docs(spark, sf):
         return text.quality_features(_t(spark, sf, "documents"))
 
+    def q_repetition_docs(spark, sf):
+        # Gopher-style repetition signals — row-local nested HOFs over
+        # materialized token/ngram arrays: zero exchanges in the plan
+        return text.repetition_features(_t(spark, sf, "documents"))
+
+    def q_decontaminate_docs(spark, sf):
+        # benchmark decontamination: eval-set 5-grams deduped on the
+        # SMALL side + broadcast; the corpus is exploded once and
+        # reduced by one map-side-combined groupBy on the unique doc id
+        from sinter_spark.operators import decontam
+
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 37 == 0)
+        train = docs.where(F.col("doc_id") % 37 != 0)
+        return decontam.contamination(train, bench, n=5)
+
     def q_pack_chunks_docs(spark, sf):
         # concat-and-chunk sequence packing: distributed prefix sum
         # (range shuffle + P-row driver collect + zero-shuffle Arrow
@@ -435,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "winnow_overlap_docs": q_winnow_overlap_docs,
         "text_quality_docs": q_text_quality_docs,
+        "repetition_docs": q_repetition_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "mix_sources_docs": q_mix_sources_docs,
         "langid_docs": q_langid_docs,
@@ -515,6 +533,9 @@ def oracle_sql() -> dict[str, str]:
         simhash_oracle_sql,
         winnow_oracle_sql,
     )
+
+    from sinter_spark.operators.decontam import decontamination_oracle_sql as _decontam_oracle
+    from sinter_spark.operators.text import repetition_oracle_sql as _repetition_oracle
 
     lsh_oracles = {
         "minhash_lsh_docs": minhash_oracle_sql(),
@@ -735,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
                      + (1.0 - LEAST(pr * 5, 1.0)) * 0.2 END, 6) AS quality
               FROM feat
         """,
+        "repetition_docs": _repetition_oracle(),
+        "decontaminate_docs": _decontam_oracle(),
         "langid_docs": """
             SELECT doc_id,
                    CASE WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'zh'

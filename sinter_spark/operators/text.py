@@ -97,3 +97,104 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(sr, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one zero-shuffle pass.
+
+    Per document (Rae et al. 2021 §A1.1, re-based on tokens because
+    this corpus has no line structure):
+
+    * ``dup_token_frac`` — fraction of token positions occupied by a
+      token that appears more than once.
+    * ``top_bigram_share`` — occurrences of the most frequent 2-gram
+      over the number of 2-grams (the "top n-gram character fraction"
+      analogue).
+    * ``dup_trigram_frac`` — fraction of 3-gram positions whose 3-gram
+      occurs more than once (the "duplicate n-gram fraction").
+
+    All three are row-local higher-order-function expressions over
+    materialized array columns (the arrays are projected FIRST so the
+    HOF collection arguments are row-field references — Catalyst does
+    not CSE expression arguments of HOFs). Zero exchanges, whole-stage
+    codegen, O(G²) per row with G ≤ tokens-per-doc — the shape that
+    holds at 100 TB because it never shuffles anything.
+
+    Empty/NULL text yields all-zero features (same convention as
+    ``quality_features``).
+    """
+    from .decontam import ngrams, _tokenize
+
+    def _counts(g: Column) -> Column:
+        # occurrences of each element, aligned with the element order
+        return F.transform(g, lambda x: F.size(F.filter(g, lambda y: y == x)))
+
+    arrays = df.select(
+        F.col(id_col),
+        _tokenize(text_col).alias("_tok"),
+    ).select(
+        F.col(id_col),
+        F.col("_tok"),
+        ngrams(F.col("_tok"), 2).alias("_g2"),
+        ngrams(F.col("_tok"), 3).alias("_g3"),
+    )
+    n_tok = F.size("_tok")
+    dup_tok = F.size(F.filter(_counts(F.col("_tok")), lambda c: c > 1))
+    n_g2 = F.size("_g2")
+    top_g2 = F.array_max(_counts(F.col("_g2")))
+    n_g3 = F.size("_g3")
+    dup_g3 = F.size(F.filter(_counts(F.col("_g3")), lambda c: c > 1))
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return arrays.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        _ratio(dup_tok, n_tok).alias("dup_token_frac"),
+        _ratio(F.coalesce(top_g2, F.lit(0)), n_g2).alias("top_bigram_share"),
+        _ratio(dup_g3, n_g3).alias("dup_trigram_frac"),
+    )
+
+
+def repetition_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of ``repetition_features`` (nested list lambdas).
+
+    DuckDB list slicing is inclusive (``t[i:i+1]`` is a 2-gram), and
+    integer ``/`` is already float division; casts are explicit anyway.
+    """
+
+    def grams(n: int) -> str:
+        return (
+            f"[array_to_string(t[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, greatest(len(t) - {n - 1}, 0) + 1)]"
+        )
+
+    counts = "list_transform({g}, x -> len(list_filter({g}, y -> y = x)))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS t
+  FROM {table}
+),
+arrays AS (
+  SELECT doc_id, t, {grams(2)} AS g2, {grams(3)} AS g3 FROM toks
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       round(CASE WHEN len(t) > 0 THEN
+         len(list_filter({counts.format(g="t")}, c -> c > 1))
+           / CAST(len(t) AS DOUBLE) ELSE 0.0 END, 6) AS dup_token_frac,
+       round(CASE WHEN len(g2) > 0 THEN
+         list_max({counts.format(g="g2")})
+           / CAST(len(g2) AS DOUBLE) ELSE 0.0 END, 6) AS top_bigram_share,
+       round(CASE WHEN len(g3) > 0 THEN
+         len(list_filter({counts.format(g="g3")}, c -> c > 1))
+           / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM arrays
+"""
