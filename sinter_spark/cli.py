@@ -481,6 +481,79 @@ def cmd_ivf_query(args) -> int:
     return 0
 
 
+def cmd_decontam(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators import decontam
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    bench = _read(spark, args.benchmark, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    report = decontam.contamination(
+        df,
+        bench,
+        n=args.n,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_matches=args.min_matches,
+        min_ratio=args.min_ratio,
+    )
+    report.write.mode("overwrite").parquet(os.path.join(args.output, "report"))
+    report = spark.read.parquet(os.path.join(args.output, "report"))
+    bad = report.where(F.col("contaminated")).select(args.id_col)
+    clean = df.join(bad, args.id_col, "left_anti")
+    clean.write.mode("overwrite").parquet(os.path.join(args.output, "clean"))
+    n_docs = report.count()
+    n_bad = report.where(F.col("contaminated")).count()
+    _write_metrics(
+        args.output,
+        {
+            "command": "decontam",
+            "n": args.n,
+            "docs": n_docs,
+            "contaminated_docs": n_bad,
+            "kept_docs": spark.read.parquet(
+                os.path.join(args.output, "clean")
+            ).count(),
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 2 if args.fail_on_contamination and n_bad else 0
+
+
+def cmd_dedup_against(args) -> int:
+    from .operators import bloom
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    ref = _read(spark, args.reference, args.format, args.csv_header)
+    t0 = time.perf_counter()
+    kept = bloom.dedup_against(
+        df,
+        ref,
+        text_col=args.text_col,
+        use_bloom=not args.no_bloom,
+        fpr=args.fpr,
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(args.output, "clean"))
+    n_docs = df.count()
+    n_kept = spark.read.parquet(os.path.join(args.output, "clean")).count()
+    _write_metrics(
+        args.output,
+        {
+            "command": "dedup-against",
+            "docs": n_docs,
+            "kept_docs": n_kept,
+            "dropped_docs": n_docs - n_kept,
+            "bloom": not args.no_bloom,
+            "fpr": args.fpr,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
 def _common(p: argparse.ArgumentParser, *, schema: bool) -> None:
     p.add_argument("--input", required=True, help="table path (parquet dir/file, csv, json)")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
@@ -573,6 +646,38 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--fail-on-dups", action="store_true",
                     help="exit 2 when any duplicate evidence is found")
     dp.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser(
+        "decontam", help="benchmark decontamination (n-gram eval-set overlap)"
+    )
+    _common(dc, schema=False)
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark/eval table path (same format as --input)")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--n", type=int, default=8, help="n-gram size (tokens)")
+    dc.add_argument("--min-matches", type=int, default=1,
+                    help="matched distinct n-grams to flag a doc")
+    dc.add_argument("--min-ratio", type=float, default=None,
+                    help="also require matched/total ratio >= this")
+    dc.add_argument("--fail-on-contamination", action="store_true",
+                    help="exit 2 when any doc is flagged")
+    dc.set_defaults(fn=cmd_decontam)
+
+    da = sub.add_parser(
+        "dedup-against",
+        help="drop rows whose normalized text occurs in a reference corpus "
+        "(Bloom-prefiltered exact anti-join)",
+    )
+    _common(da, schema=False)
+    da.add_argument("--reference", required=True,
+                    help="reference corpus path (same format as --input)")
+    da.add_argument("--text-col", default="text")
+    da.add_argument("--fpr", type=float, default=0.01,
+                    help="Bloom false-positive rate (prefilter only; result is exact)")
+    da.add_argument("--no-bloom", action="store_true",
+                    help="plain anti-join (skip the Bloom prefilter)")
+    da.set_defaults(fn=cmd_dedup_against)
 
     iv = sub.add_parser("ivf", help="ANN index jobs (IVF over an embedding column)")
     ivsub = iv.add_subparsers(dest="ivf_command", required=True)

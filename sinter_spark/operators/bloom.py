@@ -1,0 +1,268 @@
+"""Reference-corpus dedup with a distributed Bloom-filter prefilter.
+
+``dedup_against(df, reference_df)`` keeps the rows of ``df`` whose
+normalized-text fingerprint (``operators.text.fingerprint``: md5 of
+whitespace-collapsed lowercase text) does NOT occur in
+``reference_df`` — "drop everything we already have / everything in
+the eval set", the cross-corpus exact-dedup primitive (the reference
+library's scope ends at validation, `lib/sinter.ex:1`; this is part
+of the engine's pipeline charter like `operators/packing.py`).
+
+Exactness contract: the result is BYTE-IDENTICAL to the plain
+``left_anti`` join on the fingerprint — the Bloom filter is only a
+prefilter (no false negatives by construction; its false positives
+are removed by an exact confirm join on the fingerprint). The pytest
+gate pins ``use_bloom=True ≡ use_bloom=False`` including under an
+adversarially tiny filter (fpr→1).
+
+Why a Bloom prefilter at 100 TB
+-------------------------------
+The anti-join's shuffle moves BOTH corpora on the fingerprint key.
+When ``df`` is the 100 TB crawl and ``reference_df`` is large (too
+big to broadcast as a hash relation — say 10^9 fingerprints), the
+bloom replaces "shuffle 100 TB" with:
+
+1. Build: one vectorized Arrow pass over the REFERENCE fingerprints
+   producing per-partition bitmaps, OR-combined by a shuffle keyed on
+   fixed-size bitmap chunks (data moved: partitions × m/8 bytes of
+   bitmap, independent of row count), then one driver assembly of
+   m/8 bytes (~1.2 GB for 10^9 keys at 1% fpr).
+2. Probe: a broadcast of the bitmap + a zero-shuffle Arrow pass over
+   ``df`` — only the ~fpr·|df| false positives plus the true
+   duplicates enter the confirm join's shuffle.
+
+Spark's own runtime bloom pushdown
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) covers the
+same idea for sub-broadcast creation sides; this operator is for the
+regime above that threshold, and makes the filter an explicit,
+testable artifact (it can be persisted and reused across runs).
+
+The bit positions use double hashing (Kirsch–Mitzenmacher 2006):
+``pos_i = (h1 + i*h2) mod m`` with ``h1 = xxhash64(norm_text)`` and
+``h2 = xxhash64(norm_text, '\x01') | 1`` — both computed JVM-side so
+the Python side only ever sees int64 columns (no per-row Python
+anywhere; the probe is one vectorized numpy gather per batch).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint
+
+#: bitmap chunk size for the distributed OR-combine (bytes)
+_CHUNK_BYTES = 1 << 22
+
+
+def _norm(text_col: str) -> F.Column:
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def _hash_cols(text_col: str):
+    """(h1, h2) int64 columns for double hashing, JVM-side."""
+    n = _norm(text_col)
+    return (
+        F.xxhash64(n).alias("_h1"),
+        F.xxhash64(n, F.lit("\x01")).alias("_h2"),
+    )
+
+
+def bloom_params(expected_n: int, fpr: float) -> tuple[int, int]:
+    """(m_bits, k) for ``expected_n`` keys at false-positive rate
+    ``fpr`` — the standard optimum, m rounded up to a whole byte."""
+    if expected_n < 1:
+        expected_n = 1
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    m = math.ceil(-expected_n * math.log(fpr) / (math.log(2) ** 2))
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, round(m / expected_n * math.log(2)))
+    return m, k
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(len, k) uint64 bit positions via double hashing. Works on the
+    uint64 REINTERPRETATION of the signed JVM hashes (mod of a
+    negative int64 would diverge between engines)."""
+    u1 = h1.astype(np.int64).view(np.uint64)
+    u2 = h2.astype(np.int64).view(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (u1[:, None] + i * u2[:, None]) % np.uint64(m)
+
+
+@dataclass
+class BloomFilter:
+    """Immutable bitmap + params; probe is vectorized numpy."""
+
+    bits: np.ndarray  # uint8, length m//8
+    k: int
+
+    @property
+    def m(self) -> int:
+        return len(self.bits) * 8
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = _positions(h1, h2, self.k, self.m)
+        byte = (pos >> np.uint64(3)).astype(np.int64)
+        mask = np.left_shift(
+            np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
+        )
+        return ((self.bits[byte] & mask) == mask).all(axis=1)
+
+
+def build_bloom(
+    reference_df: DataFrame,
+    text_col: str = "text",
+    *,
+    expected_n: int | None = None,
+    fpr: float = 0.01,
+) -> BloomFilter:
+    """Distributed Bloom build over ``reference_df``'s fingerprints.
+
+    Vectorized end to end: a ``mapInArrow`` pass sets bits into
+    per-partition bitmaps emitted as fixed-size (chunk_id, bytes)
+    rows; a second ``mapInArrow`` after ``repartition(chunk_id)``
+    ORs each chunk's copies together (numpy, grouped within the
+    partition); the driver assembles the m/8 final bytes. Shuffle
+    volume is partitions × m/8 regardless of reference row count —
+    the rows themselves never move.
+
+    ``expected_n`` defaults to a count of the reference (one cheap
+    aggregate); pass it when known to skip that job.
+    """
+    hashed = reference_df.select(*_hash_cols(text_col))
+    if expected_n is None:
+        expected_n = hashed.count()
+    m, k = bloom_params(expected_n, fpr)
+    n_bytes = m // 8
+    n_chunks = (n_bytes + _CHUNK_BYTES - 1) // _CHUNK_BYTES
+    chunk_schema = pa.schema(
+        [pa.field("chunk_id", pa.int32()), pa.field("bits", pa.binary())]
+    )
+
+    def _partition_bitmap(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            seen = True
+            h1 = b.column("_h1").to_numpy(zero_copy_only=False)
+            h2 = b.column("_h2").to_numpy(zero_copy_only=False)
+            pos = _positions(h1, h2, k, m).ravel()
+            byte = (pos >> np.uint64(3)).astype(np.int64)
+            mask = np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
+            )
+            np.bitwise_or.at(bits, byte, mask)
+        if not seen:
+            return
+        for c in range(n_chunks):
+            lo, hi = c * _CHUNK_BYTES, min((c + 1) * _CHUNK_BYTES, n_bytes)
+            chunk = bits[lo:hi]
+            if chunk.any():  # all-zero chunks carry no information
+                yield pa.RecordBatch.from_pydict(
+                    {"chunk_id": [c], "bits": [chunk.tobytes()]},
+                    schema=chunk_schema,
+                )
+
+    def _or_chunks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[int, np.ndarray] = {}
+        for b in batches:
+            ids = b.column("chunk_id").to_pylist()
+            blobs = b.column("bits").to_pylist()
+            for cid, blob in zip(ids, blobs):
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if cid in acc:
+                    acc[cid] |= arr
+                else:
+                    acc[cid] = arr.copy()
+        for cid in sorted(acc):
+            yield pa.RecordBatch.from_pydict(
+                {"chunk_id": [cid], "bits": [acc[cid].tobytes()]},
+                schema=chunk_schema,
+            )
+
+    chunks = hashed.mapInArrow(_partition_bitmap, "chunk_id int, bits binary")
+    combined = chunks.repartition(max(1, n_chunks), "chunk_id").mapInArrow(
+        _or_chunks, "chunk_id int, bits binary"
+    )
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in combined.collect():
+        lo = row.chunk_id * _CHUNK_BYTES
+        arr = np.frombuffer(row.bits, dtype=np.uint8)
+        bits[lo : lo + len(arr)] |= arr
+    return BloomFilter(bits=bits, k=k)
+
+
+def dedup_against(
+    df: DataFrame,
+    reference_df: DataFrame,
+    text_col: str = "text",
+    *,
+    use_bloom: bool = True,
+    fpr: float = 0.01,
+    expected_reference_count: int | None = None,
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """Rows of ``df`` whose normalized text does not occur in
+    ``reference_df`` (exact fingerprint anti-join semantics).
+
+    With ``use_bloom`` (default), rows whose fingerprint the filter
+    rules out bypass the join entirely (no false negatives), and only
+    bloom-positive candidates enter the exact confirm anti-join — see
+    the module docstring for the 100 TB rationale. Pass a prebuilt
+    ``bloom`` (e.g. persisted from a previous run) to skip the build.
+
+    NULL-text rows are always kept (``fingerprint(NULL)`` is NULL and
+    never joins — SQL semantics); the empty string matches the empty
+    string. The bloom probe coalesces NULL to "" and so over-flags
+    such rows as candidates, but the exact confirm join restores the
+    NULL semantics — pinned in ``test_null_and_empty_text``.
+
+    The result is pinned equal to ``use_bloom=False`` in
+    ``tests/test_bloom.py``.
+    """
+    spark = df.sparkSession
+    ref_fps = reference_df.select(fingerprint(text_col).alias("_fp")).distinct()
+    if not use_bloom:
+        return df.join(
+            ref_fps, fingerprint(text_col) == F.col("_fp"), "left_anti"
+        )
+
+    if bloom is None:
+        bloom = build_bloom(
+            reference_df,
+            text_col,
+            expected_n=expected_reference_count,
+            fpr=fpr,
+        )
+    bc = spark.sparkContext.broadcast((bloom.bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _might_contain(h1, h2):
+        import pandas as pd
+
+        bits, k = bc.value
+        flt = BloomFilter(bits=bits, k=k)
+        return pd.Series(
+            flt.might_contain(h1.to_numpy(np.int64), h2.to_numpy(np.int64))
+        )
+
+    h1, h2 = _hash_cols(text_col)
+    tagged = df.select("*", h1, h2).withColumn(
+        "_cand", _might_contain("_h1", "_h2")
+    )
+    clean = tagged.where(~F.col("_cand"))
+    confirmed = tagged.where(F.col("_cand")).join(
+        ref_fps, fingerprint(text_col) == F.col("_fp"), "left_anti"
+    )
+    drop = ["_h1", "_h2", "_cand"]
+    return clean.drop(*drop).unionByName(confirmed.drop(*drop))

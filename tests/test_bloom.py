@@ -1,0 +1,174 @@
+"""Bloom-prefiltered reference-corpus dedup (round 5).
+
+The contract under test: ``dedup_against(use_bloom=True)`` is
+byte-identical to the plain fingerprint anti-join, for any filter
+size (false positives are confirmed away; false negatives are
+impossible), and the filter math itself matches the textbook
+parameters."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sinter_spark.operators.bloom import (
+    BloomFilter,
+    bloom_params,
+    build_bloom,
+    dedup_against,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestParams:
+    def test_textbook_values(self):
+        m, k = bloom_params(1000, 0.01)
+        # optimum ≈ 9.585 bits/key, k ≈ 7
+        assert 9500 <= m <= 9700 and k == 7
+
+    def test_byte_aligned_and_floored(self):
+        m, _ = bloom_params(1, 0.5)
+        assert m % 8 == 0 and m >= 64
+
+    def test_bad_fpr_raises(self):
+        with pytest.raises(ValueError):
+            bloom_params(10, 1.5)
+
+
+class TestFilterMath:
+    def test_no_false_negatives(self):
+        rng = np.random.default_rng(3)
+        h1 = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+        h2 = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+        m, k = bloom_params(500, 0.01)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        from sinter_spark.operators.bloom import _positions
+
+        pos = _positions(h1, h2, k, m).ravel()
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
+            ),
+        )
+        flt = BloomFilter(bits=bits, k=k)
+        assert flt.might_contain(h1, h2).all()
+
+    def test_fpr_in_the_ballpark(self):
+        rng = np.random.default_rng(4)
+        n = 2000
+        h1 = rng.integers(-(2**63), 2**63 - 1, 2 * n, dtype=np.int64)
+        h2 = rng.integers(-(2**63), 2**63 - 1, 2 * n, dtype=np.int64)
+        m, k = bloom_params(n, 0.01)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        from sinter_spark.operators.bloom import _positions
+
+        pos = _positions(h1[:n], h2[:n], k, m).ravel()
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
+            ),
+        )
+        flt = BloomFilter(bits=bits, k=k)
+        fp_rate = flt.might_contain(h1[n:], h2[n:]).mean()
+        assert fp_rate < 0.05  # target 0.01, generous slack
+
+
+class TestBuildBloom:
+    def test_contains_every_reference_doc(self, spark):
+        ref = _docs(spark, [(i, f"doc number {i}") for i in range(200)])
+        flt = build_bloom(ref, fpr=0.01)
+        from sinter_spark.operators.bloom import _hash_cols
+
+        hashed = ref.select(*_hash_cols("text")).toPandas()
+        got = flt.might_contain(
+            hashed["_h1"].to_numpy(np.int64), hashed["_h2"].to_numpy(np.int64)
+        )
+        assert got.all()
+
+    def test_multi_chunk_assembly(self, spark, monkeypatch):
+        # force several bitmap chunks so the repartition+OR path and
+        # the driver assembly both see chunk_id > 0
+        import sinter_spark.operators.bloom as B
+
+        monkeypatch.setattr(B, "_CHUNK_BYTES", 64)
+        ref = _docs(spark, [(i, f"chunky {i}") for i in range(300)])
+        flt = B.build_bloom(ref, fpr=0.01)  # m ≈ 2876 bits ≈ 360 bytes
+        assert len(flt.bits) > 64
+        hashed = ref.select(*B._hash_cols("text")).toPandas()
+        assert flt.might_contain(
+            hashed["_h1"].to_numpy(np.int64), hashed["_h2"].to_numpy(np.int64)
+        ).all()
+
+    def test_empty_reference(self, spark):
+        ref = _docs(spark, []).where(F.lit(False))
+        flt = build_bloom(ref, fpr=0.01)
+        assert not flt.bits.any()
+
+
+class TestDedupAgainst:
+    def _corpora(self, spark):
+        # 40 corpus docs; 15 exist in the reference (5 via whitespace/
+        # case variants that normalize equal), reference has extras
+        corpus = _docs(
+            spark,
+            [(i, f"shared text {i}") for i in range(15)]
+            + [(i, f"only in corpus {i}") for i in range(15, 40)],
+        )
+        ref = _docs(
+            spark,
+            [(100 + i, f"shared   TEXT {i}") for i in range(5)]
+            + [(200 + i, f"shared text {i}") for i in range(5, 15)]
+            + [(300 + i, f"only in reference {i}") for i in range(10)],
+        )
+        return corpus, ref
+
+    def test_exact_semantics(self, spark):
+        corpus, ref = self._corpora(spark)
+        out = dedup_against(corpus, ref)
+        kept = sorted(r.doc_id for r in out.collect())
+        assert kept == list(range(15, 40))
+        assert out.columns == corpus.columns
+
+    def test_bloom_equals_plain(self, spark):
+        corpus, ref = self._corpora(spark)
+        plain = sorted(
+            r.doc_id for r in dedup_against(corpus, ref, use_bloom=False).collect()
+        )
+        bloomed = sorted(r.doc_id for r in dedup_against(corpus, ref).collect())
+        assert plain == bloomed
+
+    def test_adversarially_tiny_filter_still_exact(self, spark):
+        # fpr→0.99 makes nearly everything a candidate; the confirm
+        # join must keep the result exact anyway
+        corpus, ref = self._corpora(spark)
+        out = dedup_against(corpus, ref, fpr=0.99)
+        assert sorted(r.doc_id for r in out.collect()) == list(range(15, 40))
+
+    def test_prebuilt_filter_reuse(self, spark):
+        corpus, ref = self._corpora(spark)
+        flt = build_bloom(ref, fpr=0.01)
+        out = dedup_against(corpus, ref, bloom=flt)
+        assert sorted(r.doc_id for r in out.collect()) == list(range(15, 40))
+
+    def test_null_and_empty_text(self, spark):
+        corpus = _docs(spark, [(1, None), (2, ""), (3, "real text")])
+        ref = _docs(spark, [(9, "")])
+        kept = sorted(
+            r.doc_id for r in dedup_against(corpus, ref).collect()
+        )
+        # SQL null semantics: fingerprint(NULL) is NULL and never joins,
+        # so null-text rows are always kept; "" matches "" and drops.
+        # The bloom path must agree (its coalesced probe marks doc 1 a
+        # candidate, but the exact confirm join keeps it).
+        assert kept == [1, 3]
+        plain = sorted(
+            r.doc_id
+            for r in dedup_against(corpus, ref, use_bloom=False).collect()
+        )
+        assert plain == kept

@@ -525,3 +525,66 @@ class TestDedupSparkSubmit:
         assert r.returncode == 0, r.stderr[-2000:]
         metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
         assert metrics["kept_docs"] > 0 and "dropped_buckets" in metrics
+
+
+class TestDecontamCommand:
+    def test_report_matches_library_and_exit_code(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sinter_spark.cli import cmd_decontam
+        from sinter_spark.operators.decontam import contamination
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench_src = tmp_path / "bench.parquet"
+        docs.where(F.col("doc_id") % 37 == 0).write.parquet(str(bench_src))
+        out = tmp_path / "dc"
+        args = build_parser().parse_args(
+            [
+                "decontam",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(out),
+                "--benchmark", str(bench_src),
+                "--n", "5",
+                "--fail-on-contamination",
+            ]
+        )
+        rc = cmd_decontam(args)
+        metrics = json.loads((out / "metrics.json").read_text())
+        lib = contamination(
+            docs, docs.where(F.col("doc_id") % 37 == 0), n=5
+        )
+        n_bad = lib.where(F.col("contaminated")).count()
+        assert metrics["contaminated_docs"] == n_bad
+        # benchmark docs themselves are flagged (they match trivially),
+        # so contamination is always found and exit code is 2
+        assert rc == 2 and n_bad > 0
+        assert metrics["docs"] == metrics["kept_docs"] + n_bad
+        report = spark.read.parquet(str(out / "report"))
+        assert report.count() == metrics["docs"]
+
+
+class TestDedupAgainstCommand:
+    def test_clean_equals_plain_anti_join(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sinter_spark.cli import cmd_dedup_against
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ref_src = tmp_path / "ref.parquet"
+        docs.where(F.col("doc_id") % 7 == 0).write.parquet(str(ref_src))
+        out = tmp_path / "da"
+        args = build_parser().parse_args(
+            [
+                "dedup-against",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(out),
+                "--reference", str(ref_src),
+            ]
+        )
+        assert cmd_dedup_against(args) == 0
+        metrics = json.loads((out / "metrics.json").read_text())
+        kept = spark.read.parquet(str(out / "clean"))
+        expected = docs.count() - docs.where(F.col("doc_id") % 7 == 0).count()
+        # synthetic docs are unique, so dropped == the reference slice
+        assert metrics["kept_docs"] == kept.count() == expected
+        assert metrics["dropped_docs"] == docs.count() - expected
