@@ -44,6 +44,8 @@ HEADLINE = [
     "hourly_rollup",
     "doc_fingerprints",
     "text_quality_docs",
+    "repetition_docs",
+    "decontaminate_docs",
     "langid_docs",
     "minhash_lsh_docs",
     "simhash_docs",
