@@ -216,6 +216,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_col="bucket",
         ).select("doc_id", "source", F.col("bucket").cast("long").alias("bucket"))
 
+    def q_scrub_docs(spark, sf):
+        # PII/URL scrubbing audit: the synthetic corpus carries no PII,
+        # so the query plants it deterministically (same injection in
+        # the oracle) and redacts — pure regexp Columns, zero shuffles
+        from sinter_spark.operators import scrub
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", scrub.inject_pii_column().alias("text")
+        )
+        return scrub.scrub_text(d)
+
+    def q_sample_stratified_docs(spark, sf):
+        # exact per-source quotas in deterministic hash order; the
+        # row_number<=k window gets map-side WindowGroupLimit pruning
+        return packing.sample_stratified(
+            _t(spark, sf, "documents"),
+            {"src0": 40, "src1": 25, "src2": 10, "src4": 0},
+            seed=3,
+            default_quota=15,
+        )
+
     def q_langid_docs(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select("doc_id", text.lang_id("text").alias("pred_lang"))
@@ -455,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
         "mix_sources_docs": q_mix_sources_docs,
+        "scrub_docs": q_scrub_docs,
+        "sample_stratified_docs": q_sample_stratified_docs,
         "langid_docs": q_langid_docs,
         "topk_cosine": q_topk_cosine,
         "batch_topk_cosine": q_batch_topk_cosine,
@@ -535,6 +558,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from sinter_spark.operators.decontam import decontamination_oracle_sql as _decontam_oracle
+    from sinter_spark.operators.packing import sample_stratified_sql as _stratified_oracle
+    from sinter_spark.operators.scrub import scrub_oracle_sql as _scrub_oracle
     from sinter_spark.operators.text import repetition_oracle_sql as _repetition_oracle
 
     lsh_oracles = {
@@ -758,6 +783,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_docs": _repetition_oracle(),
         "decontaminate_docs": _decontam_oracle(),
+        "scrub_docs": _scrub_oracle(),
+        "sample_stratified_docs": _stratified_oracle(
+            {"src0": 40, "src1": 25, "src2": 10, "src4": 0},
+            seed=3,
+            default_quota=15,
+        ),
         "langid_docs": """
             SELECT doc_id,
                    CASE WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'zh'

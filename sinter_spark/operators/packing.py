@@ -232,3 +232,72 @@ def pack_documents(
             "chunk_last"
         ),
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    quotas: Mapping[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Exact per-source quotas: keep AT MOST ``quotas[source]`` rows
+    per source, chosen by the deterministic Lehmer-hash order (ties
+    broken by the key) — the "give me exactly 1M wikipedia, 100k
+    forums" step, reproducible across runs/engines like
+    ``mix_sources`` (same bucket hash, so the kept set is re-derivable
+    for lineage and the DuckDB oracle can replay it with a QUALIFY
+    window).
+
+    Scale shape: ``row_number() <= k`` window filters get Catalyst's
+    partial ``WindowGroupLimit`` BELOW the exchange — each map task
+    pre-prunes to the max quota per source before shuffling, so the
+    exchange carries at most partitions × max_quota rows per source,
+    not the full table. The redundant constant conjunct
+    ``rn <= max_quota`` exists to keep that rewrite applicable when
+    per-source quotas differ (the literal is what the optimizer keys
+    on); the per-source CASE bound then trims exactly.
+    """
+    from pyspark.sql import Window
+
+    for s, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for {s!r} must be >= 0, got {q}")
+    if default_quota < 0:
+        raise ValueError(f"default_quota must be >= 0, got {default_quota}")
+    max_quota = max([default_quota, *quotas.values()], default=0)
+    if max_quota == 0:
+        return df.where(F.lit(False))
+    bucket = deterministic_bucket(key_col, seed=seed)
+    w = Window.partitionBy(source_col).orderBy(bucket, F.col(key_col))
+    quota = F.lit(int(default_quota))
+    for s, q in sorted(quotas.items()):
+        quota = F.when(F.col(source_col) == s, F.lit(int(q))).otherwise(quota)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("_rn", rn)
+        .where((F.col("_rn") <= F.lit(int(max_quota))) & (F.col("_rn") <= quota))
+        .drop("_rn")
+    )
+
+
+def sample_stratified_sql(
+    quotas: Mapping[str, int],
+    table: str = "documents",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_quota: int = 0,
+) -> str:
+    """DuckDB twin of ``sample_stratified`` (QUALIFY window)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(q)}" for s, q in sorted(quotas.items())
+    )
+    bucket = deterministic_bucket_sql(key_col, seed=seed)
+    return f"""
+SELECT * FROM {table}
+QUALIFY row_number() OVER (
+    PARTITION BY {source_col} ORDER BY {bucket}, {key_col}
+) <= CASE {source_col} {cases} ELSE {int(default_quota)} END
+"""
