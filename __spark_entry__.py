@@ -204,6 +204,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), chunk_tokens=256, num_partitions=8
         )
 
+    def q_pack_shuffled_docs(spark, sf):
+        # same distributed prefix sum, laid out in deterministic
+        # hash-shuffle order (the global pre-training shuffle) — the
+        # range partitioner keys on the seed-derived multiplier hash
+        return packing.pack_documents(
+            _t(spark, sf, "documents"),
+            chunk_tokens=256,
+            num_partitions=8,
+            shuffle_seed=11,
+        )
+
     def q_mix_sources_docs(spark, sf):
         # deterministic data mixing: per-source keep-fractions via a
         # pure-arithmetic hash of doc_id (reproducible independent of
@@ -475,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
+        "pack_shuffled_docs": q_pack_shuffled_docs,
         "mix_sources_docs": q_mix_sources_docs,
         "scrub_docs": q_scrub_docs,
         "sample_stratified_docs": q_sample_stratified_docs,
@@ -559,6 +571,28 @@ def oracle_sql() -> dict[str, str]:
 
     from sinter_spark.operators.decontam import decontamination_oracle_sql as _decontam_oracle
     from sinter_spark.operators.packing import sample_stratified_sql as _stratified_oracle
+    from sinter_spark.operators.packing import shuffle_order_hash_sql
+
+    def _pack_shuffled_oracle() -> str:
+        ord_sql = shuffle_order_hash_sql("doc_id", seed=11)
+        return rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text, ''),
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+                FROM documents
+               WHERE doc_id IS NOT NULL),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY {ord_sql}, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS start_offset
+                FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS chunk_first,
+                   (start_offset + greatest(n_tokens, 1) - 1) // 256 AS chunk_last
+              FROM o
+        """
     from sinter_spark.operators.scrub import scrub_oracle_sql as _scrub_oracle
     from sinter_spark.operators.text import repetition_oracle_sql as _repetition_oracle
 
@@ -739,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
                    (start_offset + greatest(n_tokens, 1) - 1) // 256 AS chunk_last
               FROM o
         """,
+        "pack_shuffled_docs": _pack_shuffled_oracle(),
         "mix_sources_docs": f"""
             WITH b AS (
               SELECT doc_id, source,

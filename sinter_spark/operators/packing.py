@@ -94,6 +94,42 @@ def deterministic_bucket_sql(key_expr: str, seed: int = 0, buckets: int = 10000)
     )
 
 
+def _shuffle_multiplier(seed: int) -> int:
+    """Seed-derived Lehmer multiplier: a power of the primitive root
+    48271 mod 2^31-1. Folding the seed ADDITIVELY (as
+    ``deterministic_bucket`` does for bucket membership) is affine in
+    the seed — every key's hash shifts by the same constant, so the
+    induced ORDER barely changes between seeds. A seed-dependent
+    multiplier is a genuinely different unit of the multiplicative
+    group: orderings for different seeds are uncorrelated."""
+    return pow(_LEHMER_MUL, (int(seed) % (_LEHMER_MOD - 1)) + 1, _LEHMER_MOD)
+
+
+def shuffle_order_hash(key: Column | str, seed: int = 0) -> Column:
+    """31-bit order hash for deterministic global shuffles (int64-safe
+    in any engine; see ``shuffle_order_hash_sql`` / ``_py`` twins)."""
+    k = F.col(key) if isinstance(key, str) else key
+    m = _shuffle_multiplier(seed)
+    h0 = F.pmod(k.cast("long"), F.lit(_LEHMER_MOD))
+    h1 = F.pmod(h0 * F.lit(m), F.lit(_LEHMER_MOD))
+    return F.pmod(h1 * _LEHMER_MUL, F.lit(_LEHMER_MOD))
+
+
+def shuffle_order_hash_py(key: int, seed: int = 0) -> int:
+    m = _shuffle_multiplier(seed)
+    return ((key % _LEHMER_MOD) * m % _LEHMER_MOD) * _LEHMER_MUL % _LEHMER_MOD
+
+
+def shuffle_order_hash_sql(key_expr: str, seed: int = 0) -> str:
+    """ANSI/DuckDB twin (non-negative keys, like
+    ``deterministic_bucket_sql``)."""
+    m = _shuffle_multiplier(seed)
+    return (
+        f"(({key_expr} % {_LEHMER_MOD}) * {m} % {_LEHMER_MOD})"
+        f" * {_LEHMER_MUL} % {_LEHMER_MOD}"
+    )
+
+
 def mix_sources(
     df: DataFrame,
     weights: Mapping[str, float],
@@ -141,6 +177,7 @@ def pack_documents(
     text_col: str = "text",
     tokens: Column | None = None,
     num_partitions: int | None = None,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing over a deterministic order.
 
@@ -160,6 +197,13 @@ def pack_documents(
     (id, n_tokens) projection, a P-row driver collect of partition
     totals, then a zero-shuffle Arrow cumsum pass. Never a global
     single-partition window.
+
+    ``shuffle_seed`` switches the layout order from ``id_col`` to the
+    deterministic Lehmer hash of the id (ties by id) — the "global
+    shuffle before packing" every pretraining pipeline does, still
+    fully reproducible/engine-portable (the oracle twin orders by the
+    same SQL bucket expression) and still ONE range exchange: the
+    range partitioner keys on the hash instead of the id.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -183,11 +227,22 @@ def pack_documents(
     # coalesced to 0; null ids have no position in a deterministic
     # order and are excluded (callers wanting them must key them
     # first).
+    if shuffle_seed is None:
+        order_cols = [F.col(id_col)]
+    else:
+        order_cols = [
+            shuffle_order_hash(id_col, shuffle_seed).alias("_ord"),
+            F.col(id_col),
+        ]
     base = (
         df.where(F.col(id_col).isNotNull())
-        .select(F.col(id_col), F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"))
-        .repartitionByRange(n_part, F.col(id_col))
-        .sortWithinPartitions(id_col)
+        .select(
+            F.col(id_col),
+            F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"),
+            *([] if shuffle_seed is None else [order_cols[0]]),
+        )
+        .repartitionByRange(n_part, *[F.col(c) for c in (["_ord", id_col] if shuffle_seed is not None else [id_col])])
+        .sortWithinPartitions(*(["_ord", id_col] if shuffle_seed is not None else [id_col]))
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )

@@ -202,3 +202,80 @@ class TestMixSources:
         rows = mix_sources(df, {}, default_weight=1.0, bucket_col="bucket").collect()
         for r in rows:
             assert r["bucket"] == deterministic_bucket_py(r["doc_id"])
+
+
+class TestShuffledPacking:
+    def _docs(self, spark, n=120, seed=3):
+        rng = random.Random(seed)
+        rows = [(i, "w " * rng.randrange(1, 40)) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_global_window_in_hash_order(self, spark):
+        from pyspark.sql import Window
+
+        from sinter_spark.operators.packing import shuffle_order_hash
+        from sinter_spark.operators.text import token_count
+
+        df = self._docs(spark)
+        got = pack_documents(df, 64, num_partitions=5, shuffle_seed=21).orderBy(
+            "doc_id"
+        )
+        tok = F.coalesce(
+            token_count(F.coalesce(F.col("text"), F.lit(""))).cast("long"), F.lit(0)
+        )
+        w = Window.orderBy(
+            shuffle_order_hash("doc_id", 21), F.col("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        naive = (
+            df.select(
+                "doc_id",
+                tok.alias("n_tokens"),
+                F.coalesce(F.sum(tok).over(w), F.lit(0)).alias("start_offset"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        for g, n in zip(got.collect(), naive):
+            assert (g.doc_id, g.n_tokens, g.start_offset) == (
+                n.doc_id, n.n_tokens, n.start_offset,
+            )
+
+    def test_seeds_give_uncorrelated_orders(self, spark):
+        """Regression for the affine-seed defect: folding the seed
+        ADDITIVELY shifts every hash by a constant, so different seeds
+        produced (near-)identical ORDERINGS. The seed-derived
+        multiplier must actually permute."""
+        from sinter_spark.operators.packing import shuffle_order_hash_py
+
+        keys = list(range(500))
+        order_a = sorted(keys, key=lambda k: (shuffle_order_hash_py(k, 7), k))
+        order_b = sorted(keys, key=lambda k: (shuffle_order_hash_py(k, 8), k))
+        pos_b = {k: i for i, k in enumerate(order_b)}
+        # Spearman-ish: mean absolute rank displacement should be large
+        # (≈ n/3 for independent permutations), not ~0
+        disp = sum(abs(i - pos_b[k]) for i, k in enumerate(order_a)) / len(keys)
+        assert disp > len(keys) / 6
+
+    def test_scalar_twin(self, spark):
+        from sinter_spark.operators.packing import (
+            shuffle_order_hash,
+            shuffle_order_hash_py,
+        )
+
+        df = spark.createDataFrame([(k,) for k in (0, 1, 12345, 2**40)], "k long")
+        got = df.select(
+            "k", shuffle_order_hash("k", 11).alias("h")
+        ).collect()
+        for r in got:
+            assert r.h == shuffle_order_hash_py(r.k, 11)
+
+    def test_single_range_exchange(self, spark):
+        df = self._docs(spark, n=60)
+        plan = (
+            pack_documents(df, 64, num_partitions=4, shuffle_seed=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange rangepartitioning") <= 2  # cached plan + child copy
+        assert "Exchange hashpartitioning" not in plan
