@@ -554,6 +554,148 @@ def cmd_dedup_against(args) -> int:
     return 0
 
 
+def _parse_kv(spec: str, cast):
+    out = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if not _:
+            raise SystemExit(f"expected key=value, got {part!r}")
+        out[k] = cast(v)
+    return out
+
+
+def cmd_pipeline(args) -> int:
+    """The composed training-data pass: quality filter → scrub →
+    near-dup dedup → reference dedup → benchmark decontamination →
+    mixing/quota sampling → sequence packing, each stage optional,
+    each stage's in/out counts in metrics.json (no silent drops).
+
+    Stage order follows practice: text-mutating steps (scrub) run
+    BEFORE fingerprint-based dedup so duplicates are detected on the
+    text that will actually be trained on; packing runs last over the
+    surviving set.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import decontam, packing, scrub, text
+    from .operators.bloom import dedup_against
+    from .operators.dedup import dedup_canonical
+
+    spark = _get_spark(args.cores)
+    df = _read(spark, args.input, args.format, args.csv_header)
+    id_col, text_col = args.id_col, args.text_col
+    t0 = time.perf_counter()
+    stages: list[dict] = []
+    n = df.count()
+
+    def _stage(name: str, new_df, **extra):
+        nonlocal df, n
+        # materialize between stages: each stage's output feeds several
+        # downstream scans (counts + next stage) — and keeps lineage
+        # shallow on long chains
+        path = os.path.join(args.output, f"stage_{len(stages)}_{name}")
+        new_df.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        n_out = df.count()
+        stages.append({"stage": name, "rows_in": n, "rows_out": n_out, **extra})
+        n = n_out
+
+    if args.min_quality is not None:
+        q = text.quality_features(df, text_col, id_col).where(
+            F.col("quality") >= args.min_quality
+        )
+        _stage("quality_filter", df.join(q.select(id_col), id_col, "left_semi"),
+               min_quality=args.min_quality)
+
+    if args.scrub:
+        scrubbed = scrub.scrub_text(df, text_col, id_col)
+        audit = {
+            f"total_{c}": scrubbed.agg(F.sum(c)).collect()[0][0]
+            for c in scrubbed.columns
+            if c.startswith("n_")
+        }
+        replaced = df.drop(text_col).join(
+            scrubbed.select(id_col, F.col("scrubbed").alias(text_col)),
+            id_col,
+        )
+        _stage("scrub", replaced, **audit)
+
+    if args.dedup:
+        _stage("dedup_canonical", dedup_canonical(df, id_col, text_col))
+
+    if args.reference:
+        ref = _read(spark, args.reference, args.format, args.csv_header)
+        _stage("dedup_against", dedup_against(df, ref, text_col))
+
+    if args.benchmark:
+        bench = _read(spark, args.benchmark, args.format, args.csv_header)
+        _stage(
+            "decontaminate",
+            decontam.decontaminate(
+                df, bench, n=args.decontam_n, text_col=text_col, id_col=id_col
+            ),
+            n=args.decontam_n,
+        )
+
+    if args.mix:
+        _stage(
+            "mix_sources",
+            packing.mix_sources(
+                df, _parse_kv(args.mix, float), args.source_col, id_col,
+                seed=args.seed, default_weight=args.default_weight,
+            ),
+        )
+
+    if args.quota:
+        _stage(
+            "sample_stratified",
+            packing.sample_stratified(
+                df, _parse_kv(args.quota, int), args.source_col, id_col,
+                seed=args.seed, default_quota=args.default_quota,
+            ),
+        )
+
+    df.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
+    if args.chunk_tokens:
+        packed = packing.pack_documents(
+            spark.read.parquet(os.path.join(args.output, "docs")),
+            chunk_tokens=args.chunk_tokens,
+            id_col=id_col,
+            text_col=text_col,
+            shuffle_seed=args.shuffle_seed,
+        )
+        packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
+        pk = spark.read.parquet(os.path.join(args.output, "packed"))
+        total_tokens = pk.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        n_chunks = (
+            pk.agg(F.max("chunk_last")).collect()[0][0] + 1 if n else 0
+        )
+        stages.append(
+            {
+                "stage": "pack",
+                "rows_in": n,
+                "rows_out": n,
+                "total_tokens": int(total_tokens),
+                "chunks": int(n_chunks),
+                "chunk_tokens": args.chunk_tokens,
+                "shuffle_seed": args.shuffle_seed,
+            }
+        )
+
+    _write_metrics(
+        args.output,
+        {
+            "command": "pipeline",
+            "stages": stages,
+            "docs_out": n,
+            "elapsed_sec": round(time.perf_counter() - t0, 3),
+        },
+    )
+    return 0
+
+
 def _common(p: argparse.ArgumentParser, *, schema: bool) -> None:
     p.add_argument("--input", required=True, help="table path (parquet dir/file, csv, json)")
     p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
@@ -646,6 +788,39 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("--fail-on-dups", action="store_true",
                     help="exit 2 when any duplicate evidence is found")
     dp.set_defaults(fn=cmd_dedup)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="composed training-data pass: quality -> scrub -> dedup -> "
+        "reference dedup -> decontam -> mix/quota -> pack",
+    )
+    _common(pl, schema=False)
+    pl.add_argument("--id-col", default="doc_id")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--source-col", default="source")
+    pl.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs below this quality_features score")
+    pl.add_argument("--scrub", action="store_true",
+                    help="redact emails/URLs/IPs (counts in metrics)")
+    pl.add_argument("--dedup", action="store_true",
+                    help="minhash near-dup keep-one dedup")
+    pl.add_argument("--reference", default=None,
+                    help="drop docs whose text occurs in this corpus")
+    pl.add_argument("--benchmark", default=None,
+                    help="decontaminate against this eval table")
+    pl.add_argument("--decontam-n", type=int, default=8)
+    pl.add_argument("--mix", default=None,
+                    help="per-source keep fractions, e.g. src0=1.0,src1=0.3")
+    pl.add_argument("--default-weight", type=float, default=1.0)
+    pl.add_argument("--quota", default=None,
+                    help="per-source exact quotas, e.g. src0=1000,src1=50")
+    pl.add_argument("--default-quota", type=int, default=0)
+    pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--chunk-tokens", type=int, default=None,
+                    help="also write packed/ chunk spans")
+    pl.add_argument("--shuffle-seed", type=int, default=None,
+                    help="pack in deterministic hash-shuffle order")
+    pl.set_defaults(fn=cmd_pipeline)
 
     dc = sub.add_parser(
         "decontam", help="benchmark decontamination (n-gram eval-set overlap)"

@@ -588,3 +588,66 @@ class TestDedupAgainstCommand:
         # synthetic docs are unique, so dropped == the reference slice
         assert metrics["kept_docs"] == kept.count() == expected
         assert metrics["dropped_docs"] == docs.count() - expected
+
+
+class TestPipelineCommand:
+    def test_stage_chain_matches_library(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from sinter_spark.cli import cmd_pipeline
+        from sinter_spark.operators.decontam import decontaminate
+        from sinter_spark.operators.dedup import dedup_canonical
+        from sinter_spark.operators.packing import mix_sources
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench_src = tmp_path / "bench.parquet"
+        docs.where(F.col("doc_id") % 37 == 0).write.parquet(str(bench_src))
+        out = tmp_path / "pl"
+        args = build_parser().parse_args(
+            [
+                "pipeline",
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", str(out),
+                "--scrub",
+                "--dedup",
+                "--benchmark", str(bench_src),
+                "--decontam-n", "5",
+                "--mix", "src0=1.0,src1=0.5",
+                "--default-weight", "0.8",
+                "--seed", "3",
+                "--chunk-tokens", "128",
+                "--shuffle-seed", "7",
+            ]
+        )
+        assert cmd_pipeline(args) == 0
+        metrics = json.loads((out / "metrics.json").read_text())
+        stages = {s["stage"]: s for s in metrics["stages"]}
+        # chain integrity: each stage's rows_in == previous rows_out
+        seq = metrics["stages"]
+        for prev, cur in zip(seq, seq[1:]):
+            assert cur["rows_in"] == prev["rows_out"]
+        # scrub on this corpus is a no-op (no PII) but the audit exists
+        assert stages["scrub"]["total_n_email"] == 0
+        assert stages["scrub"]["rows_out"] == stages["scrub"]["rows_in"]
+        # dedup stage == library dedup_canonical on the same input
+        # (scrub didn't change any text, so the input is the corpus)
+        assert stages["dedup_canonical"]["rows_out"] == dedup_canonical(docs).count()
+        # decontaminate == library on the deduped set
+        deduped = spark.read.parquet(str(out / "stage_1_dedup_canonical"))
+        lib_decon = decontaminate(
+            deduped, spark.read.parquet(str(bench_src)), n=5
+        ).count()
+        assert stages["decontaminate"]["rows_out"] == lib_decon
+        # mix == library mix_sources on the decontaminated set
+        deconned = spark.read.parquet(str(out / "stage_2_decontaminate"))
+        lib_mix = mix_sources(
+            deconned, {"src0": 1.0, "src1": 0.5}, seed=3, default_weight=0.8
+        ).count()
+        assert stages["mix_sources"]["rows_out"] == lib_mix
+        # packed output spans every surviving doc and is chunk-coherent
+        packed = spark.read.parquet(str(out / "packed"))
+        assert packed.count() == metrics["docs_out"]
+        assert stages["pack"]["chunks"] >= 1
+        assert stages["pack"]["total_tokens"] == (
+            packed.agg(F.sum("n_tokens")).collect()[0][0]
+        )
