@@ -274,6 +274,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), threshold=0.9, round_to=5
         )
 
+    def q_semantic_dedup_embeddings(spark, sf):
+        # SemDeDup-style keep-one in embedding space; exact=True is the
+        # oracle-comparable pair path (same convention as
+        # near_dup_components_docs) — the LSH path is pinned by pytest.
+        # The synthetic embeddings are near-orthogonal (max natural
+        # cosine ~0.51), so exact duplicates are planted
+        # deterministically (vec_id%20==0 re-enters as id+10000, the
+        # identical vector) and the threshold sits at 0.45 where the
+        # table also has 14 natural pairs — clusters of both kinds.
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        planted = emb.where(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), F.col("embedding")
+        )
+        return similarity.semantic_dedup(
+            emb.unionByName(planted), threshold=0.45, exact=True
+        ).select("vec_id")
+
     def q_dup_salted(spark, sf):
         # the salted two-phase path on a LOW-cardinality skewed key —
         # must equal the plain GROUP BY the oracle runs
@@ -494,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "batch_topk_cosine": q_batch_topk_cosine,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "dup_salted": q_dup_salted,
         "psi_events_value": q_psi_events_value,
         "rp_lsh_near_pairs": q_rp_lsh_near_pairs,
@@ -862,6 +880,29 @@ def oracle_sql() -> dict[str, str]:
              WHERE a.vec_id < b.vec_id
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "semantic_dedup_embeddings": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 20 = 0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM corpus a, corpus b
+               WHERE a.vec_id < b.vec_id
+                 AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6)
+                     >= 0.45),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+            cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+            SELECT v.vec_id FROM corpus v
+             WHERE v.vec_id NOT IN (SELECT node FROM cc WHERE node <> component)
         """,
         "dup_salted": """
             SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem

@@ -321,3 +321,63 @@ def rp_lsh_near_pairs(
     if handle is not None:
         out = _attach_cache(out, handle)  # release via dedup.release_cache
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    exact: bool = False,
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup-style keep-one dedup in embedding space: cluster rows
+    whose cosine similarity reaches ``threshold`` (transitively) and
+    keep each cluster's minimum-id member; rows in no cluster pass
+    through. Complements the text-space `dedup.dedup_canonical` — this
+    catches paraphrases exact/minhash fingerprints can't.
+
+    Default path is the scale one: `rp_lsh_near_pairs` (join-free
+    banded hyperplane LSH, capped + audited, exact-cosine verified)
+    feeding min-label connected components; ``exact=True`` swaps in
+    the documented O(n²) `cosine_self_pairs` — the oracle-comparable
+    path the driver query uses at small sf (same convention as
+    `dedup.near_dup_components(exact=True)`).
+    """
+    from .dedup import connected_components, release_cache
+
+    if exact:
+        pairs = cosine_self_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold
+        )
+        comp = connected_components(pairs.select("id_a", "id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim is required for the LSH path (exact=False)")
+        pairs = rp_lsh_near_pairs(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            threshold=threshold,
+            n_planes=n_planes,
+            bands=bands,
+            seed=seed,
+            max_bucket=max_bucket,
+        )
+        try:
+            # CC persists the edge list in round 1 — the LSH bucket
+            # cache is dead weight after that (same pattern as
+            # dedup.near_dup_components)
+            comp = connected_components(pairs.select("id_a", "id_b"))
+        finally:
+            release_cache(pairs)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
