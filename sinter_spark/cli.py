@@ -49,6 +49,16 @@ Commands:
   spherical-kmeans centroids on a bounded spanning sample and writes
   the cluster-partitioned index; query runs batched top-k cosine over
   a queries table against the index with partition-pruned probes.
+* ``decontam`` — benchmark decontamination (n-gram eval-set overlap):
+  ``report/`` (per-doc match stats) + ``clean/`` + metrics, with a
+  ``--fail-on-contamination`` CI gate.
+* ``dedup-against`` — drop rows whose normalized text occurs in a
+  reference corpus (Bloom-prefiltered exact anti-join; ``--no-bloom``
+  for the plain join, results identical).
+* ``pipeline`` — the composed training-data pass: quality filter →
+  scrub → near-dup dedup → reference dedup → decontamination →
+  mixing/quota sampling → (shuffled) sequence packing, each stage
+  optional, per-stage in/out counts + audits in ``metrics.json``.
 
 Schemas come from JSON (:func:`api.schema_from_dict`); hooks are
 callables and therefore library-only.

@@ -152,6 +152,14 @@ def mix_sources(
     Unlike ``df.sampleBy`` this is reproducible independent of
     partitioning, task retries, and engine — a requirement for
     training-data lineage (the kept-set must be re-derivable).
+
+    Seed caveat: the seed folds in ADDITIVELY, so two seeds shift every
+    key's bucket by the same constant — kept-set MEMBERSHIP still
+    changes (the threshold window rotates over the bucket ring), but
+    the seeds are not independent draws. That is sufficient for
+    deterministic sampling; anything needing seed-independent ORDER
+    (global shuffles) must use ``shuffle_order_hash``, whose seed
+    selects a different multiplier (see its docstring for why).
     """
     for s, w in weights.items():
         if not (0.0 <= w <= 1.0):
