@@ -79,6 +79,7 @@ def contamination(
     id_col: str = "doc_id",
     min_matches: int = 1,
     min_ratio: float | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document benchmark-overlap report.
 
@@ -94,16 +95,35 @@ def contamination(
     the small side and broadcast; the big side is exploded once and
     reduced by a single map-side-combined groupBy on the unique doc
     id. See the module docstring.
+
+    ``hash_grams=True`` joins on ``xxhash64(gram)`` instead of the
+    gram string — the exploded join column and the broadcast keys drop
+    from ~n·word bytes to 8 bytes each (the thing that matters when
+    the broadcast side is a large eval suite). An xxhash64 collision
+    between a corpus gram and a DIFFERENT benchmark gram would
+    over-count by one (P ≈ grams·bench/2^64 — negligible); the
+    oracled driver query keeps the string join so the DuckDB check
+    stays exact, and the pytest gate pins hashed ≡ string on real
+    corpora.
     """
+    gram_key = (
+        (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    )
     bench_grams = (
         benchmark_df.select(_tokenize(text_col).alias("_t"))
-        .select(F.explode(ngrams(F.col("_t"), n)).alias("gram"))
+        .select(F.explode(ngrams(F.col("_t"), n)).alias("_g"))
+        .select(gram_key(F.col("_g")).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
 
     docs = df.select(F.col(id_col), _tokenize(text_col).alias("_t")).select(
-        F.col(id_col), F.array_distinct(ngrams(F.col("_t"), n)).alias("_grams")
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(ngrams(F.col("_t"), n)), lambda g: gram_key(g)
+        ).alias("_grams")
+        if hash_grams
+        else F.array_distinct(ngrams(F.col("_t"), n)).alias("_grams"),
     )
     exploded = docs.select(
         F.col(id_col),

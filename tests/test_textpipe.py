@@ -228,3 +228,61 @@ class TestOracleTwins:
             r = sp[doc_id]
             assert (r.n_grams, r.matched_grams, r.contamination_ratio,
                     r.contaminated) == (n, m, ratio, flag), doc_id
+
+
+class TestHashedGrams:
+    def test_hashed_equals_string_join(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 37 == 0)
+        train = docs.where(F.col("doc_id") % 37 != 0)
+        a = sorted(
+            map(tuple, contamination(train, bench, n=5).collect())
+        )
+        b = sorted(
+            map(tuple, contamination(train, bench, n=5, hash_grams=True).collect())
+        )
+        assert a == b
+
+    def test_hashed_plan_still_broadcast(self, spark):
+        train = spark.createDataFrame(
+            [(i, "a b c d e f") for i in range(20)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+        plan = (
+            contamination(train, bench, n=3, hash_grams=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestScrubIdempotence:
+    def test_scrub_fixpoint_property(self, spark):
+        """Redaction placeholders must not re-match any pattern —
+        scrubbing is a fixpoint after one pass (random adversarial
+        text, incl. PII fragments abutting placeholders)."""
+        import random as _r
+
+        from sinter_spark.operators.scrub import scrub_text
+
+        rng = _r.Random(13)
+        frags = [
+            "a@b.co", "https://x.y/p?q=a@b.io", "10.0.0.1", "<URL>",
+            "<EMAIL>", "<IP>", "word", "1.2.3.4.5", "x@y", "http://",
+        ]
+        rows = [
+            (i, " ".join(rng.choice(frags) for _ in range(rng.randrange(0, 12))))
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = scrub_text(df).select("doc_id", F.col("scrubbed").alias("text"))
+        twice = scrub_text(once)
+        # nothing left to redact on the second pass…
+        assert (
+            twice.where(F.col("n_url") + F.col("n_email") + F.col("n_ipv4") > 0)
+            .count() == 0
+        )
+        # …and the text is bit-stable
+        joined = once.join(twice.select("doc_id", "scrubbed"), "doc_id")
+        assert joined.where(F.col("text") != F.col("scrubbed")).count() == 0
