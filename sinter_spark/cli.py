@@ -539,12 +539,20 @@ def cmd_dedup_against(args) -> int:
     df = _read(spark, args.input, args.format, args.csv_header)
     ref = _read(spark, args.reference, args.format, args.csv_header)
     t0 = time.perf_counter()
+    flt = None
+    if args.bloom_in:
+        flt = bloom.BloomFilter.load(args.bloom_in)
+    elif not args.no_bloom:
+        flt = bloom.build_bloom(ref, args.text_col, fpr=args.fpr)
+        if args.bloom_out:
+            flt.save(args.bloom_out)
     kept = bloom.dedup_against(
         df,
         ref,
         text_col=args.text_col,
         use_bloom=not args.no_bloom,
         fpr=args.fpr,
+        bloom=flt,
     )
     kept.write.mode("overwrite").parquet(os.path.join(args.output, "clean"))
     n_docs = df.count()
@@ -862,6 +870,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Bloom false-positive rate (prefilter only; result is exact)")
     da.add_argument("--no-bloom", action="store_true",
                     help="plain anti-join (skip the Bloom prefilter)")
+    da.add_argument("--bloom-out", default=None,
+                    help="persist the built filter here for later runs")
+    da.add_argument("--bloom-in", default=None,
+                    help="reuse a filter persisted by --bloom-out (skips the build)")
     da.set_defaults(fn=cmd_dedup_against)
 
     iv = sub.add_parser("ivf", help="ANN index jobs (IVF over an embedding column)")

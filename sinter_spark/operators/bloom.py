@@ -99,14 +99,45 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
 
 @dataclass
 class BloomFilter:
-    """Immutable bitmap + params; probe is vectorized numpy."""
+    """Immutable bitmap + params; probe is vectorized numpy.
+
+    Persistable: ``save``/``load`` round-trip the filter so a build
+    over a slow-moving reference corpus is paid once and reused by
+    later runs (`dedup_against(bloom=BloomFilter.load(path))`).
+    """
 
     bits: np.ndarray  # uint8, length m//8
     k: int
 
+    #: format tag guarding against reading a foreign/old file layout
+    _MAGIC = b"SBLM0001"
+
     @property
     def m(self) -> int:
         return len(self.bits) * 8
+
+    def save(self, path: str) -> None:
+        """Write magic | k (8-byte LE) | bitmap to ``path``."""
+        import os
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(self._MAGIC)
+            f.write(int(self.k).to_bytes(8, "little"))
+            f.write(self.bits.tobytes())
+        os.replace(tmp, path)  # atomic publish
+
+    @classmethod
+    def load(cls, path: str) -> "BloomFilter":
+        with open(path, "rb") as f:
+            magic = f.read(len(cls._MAGIC))
+            if magic != cls._MAGIC:
+                raise ValueError(f"{path}: not a sinter bloom filter")
+            k = int.from_bytes(f.read(8), "little")
+            bits = np.frombuffer(f.read(), dtype=np.uint8)
+        if k < 1 or len(bits) == 0:
+            raise ValueError(f"{path}: corrupt bloom filter (k={k}, m={len(bits) * 8})")
+        return cls(bits=bits, k=k)
 
     def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         pos = _positions(h1, h2, self.k, self.m)

@@ -172,3 +172,58 @@ class TestDedupAgainst:
             for r in dedup_against(corpus, ref, use_bloom=False).collect()
         )
         assert plain == kept
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, spark, tmp_path):
+        ref = _docs(spark, [(i, f"persist {i}") for i in range(150)])
+        flt = build_bloom(ref, fpr=0.01)
+        p = str(tmp_path / "ref.bloom")
+        flt.save(p)
+        back = BloomFilter.load(p)
+        assert back.k == flt.k and (back.bits == flt.bits).all()
+
+    def test_loaded_filter_drives_dedup(self, spark, tmp_path):
+        corpus = _docs(
+            spark,
+            [(i, f"persist {i}") for i in range(5)]
+            + [(100 + i, f"fresh {i}") for i in range(5)],
+        )
+        ref = _docs(spark, [(i, f"persist {i}") for i in range(150)])
+        p = str(tmp_path / "ref.bloom")
+        build_bloom(ref, fpr=0.01).save(p)
+        out = dedup_against(corpus, ref, bloom=BloomFilter.load(p))
+        assert sorted(r.doc_id for r in out.collect()) == [100 + i for i in range(5)]
+
+    def test_magic_guard(self, tmp_path):
+        p = tmp_path / "junk.bloom"
+        p.write_bytes(b"not a bloom filter at all")
+        with pytest.raises(ValueError):
+            BloomFilter.load(str(p))
+
+    def test_cli_bloom_out_in(self, spark, tmp_path):
+        import json as _json
+
+        from sinter_spark.cli import build_parser, cmd_dedup_against
+
+        src = tmp_path / "docs.parquet"
+        refp = tmp_path / "ref.parquet"
+        _docs(spark, [(1, "keep me"), (2, "drop me")]).write.parquet(str(src))
+        _docs(spark, [(9, "drop me")]).write.parquet(str(refp))
+        bloom_path = str(tmp_path / "ref.bloom")
+        out1 = tmp_path / "o1"
+        args = build_parser().parse_args(
+            ["dedup-against", "--input", str(src), "--reference", str(refp),
+             "--output", str(out1), "--bloom-out", bloom_path]
+        )
+        assert cmd_dedup_against(args) == 0
+        m1 = _json.loads((out1 / "metrics.json").read_text())
+        assert m1["kept_docs"] == 1
+        out2 = tmp_path / "o2"
+        args = build_parser().parse_args(
+            ["dedup-against", "--input", str(src), "--reference", str(refp),
+             "--output", str(out2), "--bloom-in", bloom_path]
+        )
+        assert cmd_dedup_against(args) == 0
+        m2 = _json.loads((out2 / "metrics.json").read_text())
+        assert m2["kept_docs"] == 1
