@@ -286,3 +286,62 @@ class TestScrubIdempotence:
         # …and the text is bit-stable
         joined = once.join(twice.select("doc_id", "scrubbed"), "doc_id")
         assert joined.where(F.col("text") != F.col("scrubbed")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential: contamination vs a straight-line scalar twin
+
+
+def _contam_py(train, bench, n):
+    """Scalar twin of contamination() (whitespace regex ≡ Spark \\s+)."""
+    import re
+
+    def grams(text):
+        toks = (
+            re.split(r"\s+", text.lower().strip())
+            if text and text.strip()
+            else []
+        )
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_grams = set().union(*(grams(t) for _, t in bench)) if bench else set()
+    out = {}
+    for doc_id, text in train:
+        g = grams(text)
+        out[doc_id] = (len(g), len(g & bench_grams))
+    return out
+
+
+class TestContaminationHypothesis:
+    def test_differential_fuzz(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        # tokens avoid İ (U+0130: JVM lower() ≠ Python str.lower()) but
+        # include multibyte, digits, punctuation and empty/whitespace
+        token = st.sampled_from(
+            ["a", "b", "ab", "1", "!", "é", "ß", "中", "x-y", "...", "B"]
+        )
+        doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+        docs = st.lists(doc, min_size=1, max_size=12)
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(train_texts=docs, bench_texts=docs, n=st.integers(1, 4))
+        def run(train_texts, bench_texts, n):
+            train = list(enumerate(train_texts))
+            bench = [(100 + i, t) for i, t in enumerate(bench_texts)]
+            sdf = spark.createDataFrame(train, "doc_id long, text string")
+            bdf = spark.createDataFrame(bench, "doc_id long, text string")
+            got = {
+                r.doc_id: (r.n_grams, r.matched_grams)
+                for r in contamination(sdf, bdf, n=n).collect()
+            }
+            assert got == _contam_py(train, bench, n)
+
+        run()
