@@ -608,24 +608,40 @@ def cmd_pipeline(args) -> int:
     stages: list[dict] = []
     n = df.count()
 
-    def _stage(name: str, new_df, **extra):
+    def _stage(name: str, make_df, **extra):
         nonlocal df, n
         # materialize between stages: each stage's output feeds several
         # downstream scans (counts + next stage) — and keeps lineage
-        # shallow on long chains
+        # shallow on long chains. With --resume, a stage whose output
+        # already committed (parquet _SUCCESS marker) is read back
+        # instead of recomputed — a crashed chain restarts from the
+        # first unfinished stage. Resume trusts the stage NAME+INDEX:
+        # rerunning with different stage parameters must use a fresh
+        # --output (documented on the flag).
         path = os.path.join(args.output, f"stage_{len(stages)}_{name}")
-        new_df.write.mode("overwrite").parquet(path)
+        resumed = bool(
+            getattr(args, "resume", False)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        )
+        if not resumed:
+            # make_df is a thunk: resumed stages never pay plan
+            # construction side effects (e.g. the Bloom build's jobs)
+            make_df().write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         n_out = df.count()
-        stages.append({"stage": name, "rows_in": n, "rows_out": n_out, **extra})
+        stages.append(
+            {"stage": name, "rows_in": n, "rows_out": n_out, "resumed": resumed, **extra}
+        )
         n = n_out
 
     if args.min_quality is not None:
-        q = text.quality_features(df, text_col, id_col).where(
-            F.col("quality") >= args.min_quality
-        )
-        _stage("quality_filter", df.join(q.select(id_col), id_col, "left_semi"),
-               min_quality=args.min_quality)
+        def _quality(df=df):
+            q = text.quality_features(df, text_col, id_col).where(
+                F.col("quality") >= args.min_quality
+            )
+            return df.join(q.select(id_col), id_col, "left_semi")
+
+        _stage("quality_filter", _quality, min_quality=args.min_quality)
 
     if args.scrub:
         scrubbed = scrub.scrub_text(df, text_col, id_col)
@@ -634,24 +650,27 @@ def cmd_pipeline(args) -> int:
             for c in scrubbed.columns
             if c.startswith("n_")
         }
-        replaced = df.drop(text_col).join(
-            scrubbed.select(id_col, F.col("scrubbed").alias(text_col)),
-            id_col,
+        _stage(
+            "scrub",
+            lambda df=df: df.drop(text_col).join(
+                scrubbed.select(id_col, F.col("scrubbed").alias(text_col)),
+                id_col,
+            ),
+            **audit,
         )
-        _stage("scrub", replaced, **audit)
 
     if args.dedup:
-        _stage("dedup_canonical", dedup_canonical(df, id_col, text_col))
+        _stage("dedup_canonical", lambda df=df: dedup_canonical(df, id_col, text_col))
 
     if args.reference:
         ref = _read(spark, args.reference, args.format, args.csv_header)
-        _stage("dedup_against", dedup_against(df, ref, text_col))
+        _stage("dedup_against", lambda df=df: dedup_against(df, ref, text_col))
 
     if args.benchmark:
         bench = _read(spark, args.benchmark, args.format, args.csv_header)
         _stage(
             "decontaminate",
-            decontam.decontaminate(
+            lambda df=df: decontam.decontaminate(
                 df, bench, n=args.decontam_n, text_col=text_col, id_col=id_col
             ),
             n=args.decontam_n,
@@ -660,7 +679,7 @@ def cmd_pipeline(args) -> int:
     if args.mix:
         _stage(
             "mix_sources",
-            packing.mix_sources(
+            lambda df=df: packing.mix_sources(
                 df, _parse_kv(args.mix, float), args.source_col, id_col,
                 seed=args.seed, default_weight=args.default_weight,
             ),
@@ -669,7 +688,7 @@ def cmd_pipeline(args) -> int:
     if args.quota:
         _stage(
             "sample_stratified",
-            packing.sample_stratified(
+            lambda df=df: packing.sample_stratified(
                 df, _parse_kv(args.quota, int), args.source_col, id_col,
                 seed=args.seed, default_quota=args.default_quota,
             ),
@@ -838,6 +857,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write packed/ chunk spans")
     pl.add_argument("--shuffle-seed", type=int, default=None,
                     help="pack in deterministic hash-shuffle order")
+    pl.add_argument("--resume", action="store_true",
+                    help="reuse committed stage_N outputs under --output "
+                    "(restart a crashed chain from the first unfinished "
+                    "stage; changing stage parameters needs a fresh output dir)")
     pl.set_defaults(fn=cmd_pipeline)
 
     dc = sub.add_parser(

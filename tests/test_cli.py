@@ -651,3 +651,40 @@ class TestPipelineCommand:
         assert stages["pack"]["total_tokens"] == (
             packed.agg(F.sum("n_tokens")).collect()[0][0]
         )
+
+
+class TestPipelineResume:
+    def test_resume_skips_committed_stages(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        from sinter_spark.cli import cmd_pipeline
+
+        out = tmp_path / "plr"
+        argv = [
+            "pipeline",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", str(out),
+            "--scrub", "--dedup",
+            "--mix", "src0=1.0,src1=0.5",
+            "--seed", "3",
+        ]
+        assert cmd_pipeline(build_parser().parse_args(argv)) == 0
+        first = json.loads((out / "metrics.json").read_text())
+        assert all(not s["resumed"] for s in first["stages"])
+
+        # full resume: every stage reused, same counts
+        assert cmd_pipeline(build_parser().parse_args(argv + ["--resume"])) == 0
+        again = json.loads((out / "metrics.json").read_text())
+        assert [s["rows_out"] for s in again["stages"]] == [
+            s["rows_out"] for s in first["stages"]
+        ]
+        assert all(s["resumed"] for s in again["stages"])
+
+        # partial resume: drop the last stage's commit -> only it reruns
+        shutil.rmtree(out / "stage_2_mix_sources")
+        assert cmd_pipeline(build_parser().parse_args(argv + ["--resume"])) == 0
+        partial = json.loads((out / "metrics.json").read_text())
+        flags = {s["stage"]: s["resumed"] for s in partial["stages"]}
+        assert flags["scrub"] and flags["dedup_canonical"]
+        assert not flags["mix_sources"]
+        assert partial["docs_out"] == first["docs_out"]
