@@ -514,8 +514,13 @@ def cmd_decontam(args) -> int:
     bad = report.where(F.col("contaminated")).select(args.id_col)
     clean = df.join(bad, args.id_col, "left_anti")
     clean.write.mode("overwrite").parquet(os.path.join(args.output, "clean"))
-    n_docs = report.count()
-    n_bad = report.where(F.col("contaminated")).count()
+    agg = report.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(
+            F.sum(F.col("contaminated").cast("long")), F.lit(0)
+        ).alias("bad"),
+    ).collect()[0]
+    n_docs, n_bad = int(agg["docs"]), int(agg["bad"])
     _write_metrics(
         args.output,
         {
@@ -523,9 +528,7 @@ def cmd_decontam(args) -> int:
             "n": args.n,
             "docs": n_docs,
             "contaminated_docs": n_bad,
-            "kept_docs": spark.read.parquet(
-                os.path.join(args.output, "clean")
-            ).count(),
+            "kept_docs": n_docs - n_bad,
             "elapsed_sec": round(time.perf_counter() - t0, 3),
         },
     )
@@ -535,6 +538,11 @@ def cmd_decontam(args) -> int:
 def cmd_dedup_against(args) -> int:
     from .operators import bloom
 
+    if args.no_bloom and (args.bloom_in or args.bloom_out):
+        raise SystemExit(
+            "--no-bloom contradicts --bloom-in/--bloom-out: the plain "
+            "anti-join neither uses nor builds a filter"
+        )
     spark = _get_spark(args.cores)
     df = _read(spark, args.input, args.format, args.csv_header)
     ref = _read(spark, args.reference, args.format, args.csv_header)
@@ -575,11 +583,15 @@ def cmd_dedup_against(args) -> int:
 def _parse_kv(spec: str, cast):
     out = {}
     for part in spec.split(","):
-        if not part:
+        if not part.strip():
             continue
-        k, _, v = part.partition("=")
-        if not _:
+        k, sep, v = part.partition("=")
+        k, v = k.strip(), v.strip()
+        if not sep or not k:
             raise SystemExit(f"expected key=value, got {part!r}")
+        # a silently unmatched key (e.g. ' src1' with a stray space)
+        # would fall through to the default weight/quota — strip + fail
+        # loudly instead
         out[k] = cast(v)
     return out
 
@@ -608,6 +620,14 @@ def cmd_pipeline(args) -> int:
     stages: list[dict] = []
     n = df.count()
 
+    def _stage_committed(name: str) -> bool:
+        """True when --resume can reuse stage_<next-index>_<name>."""
+        path = os.path.join(args.output, f"stage_{len(stages)}_{name}")
+        return bool(
+            getattr(args, "resume", False)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        )
+
     def _stage(name: str, make_df, **extra):
         nonlocal df, n
         # materialize between stages: each stage's output feeds several
@@ -619,10 +639,7 @@ def cmd_pipeline(args) -> int:
         # rerunning with different stage parameters must use a fresh
         # --output (documented on the flag).
         path = os.path.join(args.output, f"stage_{len(stages)}_{name}")
-        resumed = bool(
-            getattr(args, "resume", False)
-            and os.path.exists(os.path.join(path, "_SUCCESS"))
-        )
+        resumed = _stage_committed(name)
         if not resumed:
             # make_df is a thunk: resumed stages never pay plan
             # construction side effects (e.g. the Bloom build's jobs)
@@ -645,11 +662,13 @@ def cmd_pipeline(args) -> int:
 
     if args.scrub:
         scrubbed = scrub.scrub_text(df, text_col, id_col)
-        audit = {
-            f"total_{c}": scrubbed.agg(F.sum(c)).collect()[0][0]
-            for c in scrubbed.columns
-            if c.startswith("n_")
-        }
+        audit = {}
+        if not _stage_committed("scrub"):
+            # ONE aggregation job for the whole audit — and none at all
+            # when --resume will reuse the committed stage output
+            cols = [c for c in scrubbed.columns if c.startswith("n_")]
+            row = scrubbed.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+            audit = {f"total_{c}": row[c] for c in cols}
         _stage(
             "scrub",
             lambda df=df: df.drop(text_col).join(
@@ -694,30 +713,47 @@ def cmd_pipeline(args) -> int:
             ),
         )
 
-    df.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
+    def _committed(rel: str) -> bool:
+        return bool(
+            getattr(args, "resume", False)
+            and os.path.exists(os.path.join(args.output, rel, "_SUCCESS"))
+        )
+
+    docs_resumed = _committed("docs")
+    if not docs_resumed:
+        df.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
     if args.chunk_tokens:
-        packed = packing.pack_documents(
-            spark.read.parquet(os.path.join(args.output, "docs")),
-            chunk_tokens=args.chunk_tokens,
-            id_col=id_col,
-            text_col=text_col,
-            shuffle_seed=args.shuffle_seed,
-        )
-        packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
+        pack_resumed = _committed("packed")
+        if not pack_resumed:
+            packed = packing.pack_documents(
+                spark.read.parquet(os.path.join(args.output, "docs")),
+                chunk_tokens=args.chunk_tokens,
+                id_col=id_col,
+                text_col=text_col,
+                shuffle_seed=args.shuffle_seed,
+            )
+            packed.write.mode("overwrite").parquet(
+                os.path.join(args.output, "packed")
+            )
         pk = spark.read.parquet(os.path.join(args.output, "packed"))
-        total_tokens = pk.agg(F.sum("n_tokens")).collect()[0][0] or 0
-        n_chunks = (
-            pk.agg(F.max("chunk_last")).collect()[0][0] + 1 if n else 0
-        )
+        # one aggregation: rows_out counts the PACKED rows (null-id
+        # docs are excluded by pack_documents), and max(chunk_last) is
+        # NULL on an empty pack — don't crash after the expensive job
+        agg = pk.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+            F.max("chunk_last").alias("last"),
+        ).collect()[0]
         stages.append(
             {
                 "stage": "pack",
                 "rows_in": n,
-                "rows_out": n,
-                "total_tokens": int(total_tokens),
-                "chunks": int(n_chunks),
+                "rows_out": int(agg["rows"]),
+                "total_tokens": int(agg["tokens"]),
+                "chunks": int(agg["last"]) + 1 if agg["last"] is not None else 0,
                 "chunk_tokens": args.chunk_tokens,
                 "shuffle_seed": args.shuffle_seed,
+                "resumed": pack_resumed,
             }
         )
 

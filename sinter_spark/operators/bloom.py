@@ -54,15 +54,19 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
-from .text import fingerprint
+from .text import fingerprint, normalized_text
 
 #: bitmap chunk size for the distributed OR-combine (bytes)
 _CHUNK_BYTES = 1 << 22
 
 
 def _norm(text_col: str) -> F.Column:
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # the ONE shared normalization (text.normalized_text) — the probe
+    # hash and the confirm-join fingerprint must see identical bytes or
+    # the no-false-negative contract breaks; only the NULL handling
+    # differs (probe coalesces, fingerprint propagates NULL — the
+    # confirm join restores SQL NULL semantics, see dedup_against)
+    return normalized_text(F.coalesce(F.col(text_col), F.lit("")))
 
 
 def _hash_cols(text_col: str):

@@ -58,6 +58,21 @@ _LEHMER_MOD = 2147483647
 _LEHMER_MUL = 48271
 
 
+def _require_integral_key(df: DataFrame, key_col: str, op: str) -> None:
+    """The Lehmer bucket/order hashes are integer arithmetic: a string
+    or UUID key silently casts to NULL long, which would make every
+    bucket NULL and (e.g.) `mix_sources` drop ALL rows while the job
+    exits 0. Fail loudly instead; callers with string ids should derive
+    a numeric key first (`F.xxhash64(col)` is the usual choice)."""
+    dt = df.schema[key_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"{op}: key column {key_col!r} must be integral for the "
+            f"deterministic hash, got {dt} — derive a numeric key first "
+            f"(e.g. F.xxhash64({key_col!r}))"
+        )
+
+
 def deterministic_bucket(
     key: Column | str, seed: int = 0, buckets: int = 10000
 ) -> Column:
@@ -166,6 +181,7 @@ def mix_sources(
             raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
     if not 0.0 <= default_weight <= 1.0:
         raise ValueError(f"default_weight must be in [0, 1], got {default_weight}")
+    _require_integral_key(df, key_col, "mix_sources")
     bucket = deterministic_bucket(key_col, seed=seed, buckets=buckets)
     threshold = F.lit(int(round(default_weight * buckets)))
     for s, w in sorted(weights.items()):
@@ -215,6 +231,9 @@ def pack_documents(
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    # the Arrow cumsum schema and (with shuffle_seed) the order hash
+    # both require an integral id
+    _require_integral_key(df, id_col, "pack_documents")
     spark = df.sparkSession
     tok = tokens if tokens is not None else token_count(F.coalesce(F.col(text_col), F.lit("")))
     n_part = int(
@@ -235,22 +254,21 @@ def pack_documents(
     # coalesced to 0; null ids have no position in a deterministic
     # order and are excluded (callers wanting them must key them
     # first).
-    if shuffle_seed is None:
-        order_cols = [F.col(id_col)]
-    else:
-        order_cols = [
-            shuffle_order_hash(id_col, shuffle_seed).alias("_ord"),
-            F.col(id_col),
-        ]
+    sort_keys = [id_col] if shuffle_seed is None else ["_ord", id_col]
+    ord_proj = (
+        []
+        if shuffle_seed is None
+        else [shuffle_order_hash(id_col, shuffle_seed).alias("_ord")]
+    )
     base = (
         df.where(F.col(id_col).isNotNull())
         .select(
             F.col(id_col),
             F.coalesce(tok.cast("long"), F.lit(0)).alias("n_tokens"),
-            *([] if shuffle_seed is None else [order_cols[0]]),
+            *ord_proj,
         )
-        .repartitionByRange(n_part, *[F.col(c) for c in (["_ord", id_col] if shuffle_seed is not None else [id_col])])
-        .sortWithinPartitions(*(["_ord", id_col] if shuffle_seed is not None else [id_col]))
+        .repartitionByRange(n_part, *[F.col(c) for c in sort_keys])
+        .sortWithinPartitions(*sort_keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -332,6 +350,7 @@ def sample_stratified(
     max_quota = max([default_quota, *quotas.values()], default=0)
     if max_quota == 0:
         return df.where(F.lit(False))
+    _require_integral_key(df, key_col, "sample_stratified")
     bucket = deterministic_bucket(key_col, seed=seed)
     w = Window.partitionBy(source_col).orderBy(bucket, F.col(key_col))
     quota = F.lit(int(default_quota))

@@ -89,8 +89,11 @@ def scrub_oracle_sql(table: str = "documents") -> str:
     for name in _ORDER:
         p, r = PATTERNS[name]
         replaced = f"regexp_replace({replaced}, '{p.replace(chr(39), chr(39) * 2)}', '{r}', 'g')"
+    # NULL text: Spark's scrub_text emits scrubbed=NULL with counts 0
+    # (concat propagates NULL on both engines, but DuckDB's
+    # len(regexp_extract_all(NULL)) is NULL, not 0 — coalesce it)
     counts = ", ".join(
-        "len(regexp_extract_all(t, '{}')) AS n_{}".format(
+        "coalesce(len(regexp_extract_all(t, '{}')), 0) AS n_{}".format(
             p.replace("'", "''"), name
         )
         for name, (p, _) in PATTERNS.items()

@@ -60,12 +60,21 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
-def fingerprint(col: Column | str) -> Column:
-    """Document fingerprint: md5 of whitespace-normalized lowercase text
-    (stable across engines; the cheap exact-dedup key)."""
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace-collapsed lowercase text — THE canonical exact-match
+    normalization. Every operator keyed on text identity (md5
+    ``fingerprint``, the Bloom prefilter's xxhash64 probe) must derive
+    from this ONE expression: the Bloom path's no-false-negative
+    contract is that probe hashes and confirm-join fingerprints see
+    byte-identical normalized text."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return F.md5(norm)
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of ``normalized_text`` (stable across
+    engines; the cheap exact-dedup key). NULL text → NULL."""
+    return F.md5(normalized_text(col))
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -279,3 +279,22 @@ class TestShuffledPacking:
         )
         assert plan.count("Exchange rangepartitioning") <= 2  # cached plan + child copy
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestIntegralKeyGuard:
+    def test_string_key_fails_loudly_not_silently_empty(self, spark):
+        """Regression: a string/UUID key used to cast to NULL long,
+        giving every row a NULL bucket — mix_sources dropped ALL rows
+        while exiting 0. Must raise instead."""
+        df = spark.createDataFrame(
+            [("u-1", "t", "a"), ("u-2", "t", "b")],
+            "doc_id string, text string, source string",
+        )
+        with pytest.raises(TypeError, match="integral"):
+            mix_sources(df, {"a": 1.0}, key_col="doc_id")
+        from sinter_spark.operators.packing import sample_stratified
+
+        with pytest.raises(TypeError, match="integral"):
+            sample_stratified(df, {"a": 1}, key_col="doc_id")
+        with pytest.raises(TypeError, match="integral"):
+            pack_documents(df, 64)
