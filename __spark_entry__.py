@@ -274,6 +274,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "embeddings"), threshold=0.9, round_to=5
         )
 
+    def q_dedup_against_docs(spark, sf):
+        # Bloom-prefiltered reference-corpus dedup: result is pinned
+        # byte-identical to the plain fingerprint anti-join, so the
+        # oracle is the md5 NOT IN — and the driver gate exercises the
+        # REAL path (distributed bloom build + probe + confirm join)
+        from sinter_spark.operators.bloom import dedup_against
+
+        docs = _t(spark, sf, "documents")
+        ref = docs.where(F.col("doc_id") % 11 == 0)
+        return dedup_against(docs, ref).select("doc_id")
+
     def q_semantic_dedup_embeddings(spark, sf):
         # SemDeDup-style keep-one in embedding space; exact=True is the
         # oracle-comparable pair path (same convention as
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "batch_topk_cosine": q_batch_topk_cosine,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "dedup_against_docs": q_dedup_against_docs,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "dup_salted": q_dup_salted,
         "psi_events_value": q_psi_events_value,
@@ -880,6 +892,17 @@ def oracle_sql() -> dict[str, str]:
              WHERE a.vec_id < b.vec_id
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "dedup_against_docs": r"""
+            WITH ref AS (
+              SELECT DISTINCT
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                FROM documents
+               WHERE doc_id % 11 = 0 AND text IS NOT NULL)
+            SELECT d.doc_id FROM documents d
+             WHERE d.text IS NULL
+                OR md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
+                   NOT IN (SELECT fp FROM ref)
         """,
         "semantic_dedup_embeddings": """
             WITH RECURSIVE corpus AS (
