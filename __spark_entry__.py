@@ -33,6 +33,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Widened table read for compute-heavy row-local query paths.
+
+    The driver testdata writes each table as ONE parquet row group, an
+    indivisible unit for scan parallelism — a fused scan+expression
+    stage then runs on a single core no matter the split count (guide
+    §2.5 input skew: "one huge unsplittable file … repartition
+    immediately after the read"). The widen repartitions only when the
+    scan has fewer splits than half the cores, so on any real-scale
+    table (or multi-file input) it is a no-op and adds no shuffle."""
+    from sinter_spark.plans import widen_small_scan
+
+    return widen_small_scan(_t(spark, sf_dir, name))
+
+
 def events_schema() -> Schema:
     """Flagship sinter schema over the events table."""
     return Schema.define(
@@ -48,7 +63,7 @@ def events_schema() -> Schema:
 
 
 def _validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = bind(events_schema(), _t(spark, sf_dir, "events"), row_key="event_id")
+    res = bind(events_schema(), _tw(spark, sf_dir, "events"), row_key="event_id")
     return res.violations.select(
         "row_key",
         F.array_join("path", ".").alias("path"),
@@ -93,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return v.select("row_key", F.array_join("path", ".").alias("path"), "code")
 
     def q_hist_events_value(spark, sf):
+        # NOT widened: map-side partial agg collapses 1M rows to 16 bins
+        # on the scan task; a widen shuffles the full table for nothing
+        # (measured 0.51 s -> 1.21 s with the widen — reverted)
         return histogram(_t(spark, sf, "events"), "value", bins=16, lo=0.0, hi=500.0)
 
     def q_q1_pricing(spark, sf):
@@ -124,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return marked.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
     def q_hourly_rollup(spark, sf):
+        # NOT widened: same partial-agg argument as q_hist_events_value
+        # (measured 0.69 s -> 1.65 s with the widen — reverted)
         ev = _t(spark, sf, "events")
         return (
             ev.groupBy(
@@ -187,13 +207,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_decontaminate_docs(spark, sf):
         # benchmark decontamination: eval-set 5-grams deduped on the
         # SMALL side + broadcast; the corpus is exploded once and
-        # reduced by one map-side-combined groupBy on the unique doc id
+        # reduced by one map-side-combined groupBy on the unique doc
+        # id. hash_grams (round 6): the join/broadcast move 8-byte
+        # xxhash64 token-slice keys instead of gram strings — pinned
+        # hashed ≡ string (tests/test_textpipe.py::TestHashedGrams)
+        # and oracle-checked against the string-join DuckDB twin.
         from sinter_spark.operators import decontam
 
         docs = _t(spark, sf, "documents")
         bench = docs.where(F.col("doc_id") % 37 == 0)
         train = docs.where(F.col("doc_id") % 37 != 0)
-        return decontam.contamination(train, bench, n=5)
+        return decontam.contamination(train, bench, n=5, hash_grams=True)
 
     def q_pack_chunks_docs(spark, sf):
         # concat-and-chunk sequence packing: distributed prefix sum

@@ -928,10 +928,16 @@ class TableValidationResult:
 
     @property
     def violations(self) -> DataFrame:
+        # no size(__errs) > 0 pre-filter: explode already drops rows
+        # with empty arrays, and the redundant filter was WORSE than
+        # free — the optimizer pushes it below any exchange in the
+        # plan, duplicating the whole violation expression on the
+        # scan side (Catalyst does not CSE across exchanges), which
+        # on a one-row-group input re-serializes the pass onto a
+        # single core.
         f = self.flagged
         return (
-            f.where(F.size("__errs") > 0)
-            .select(F.col("__row_key").cast("string").alias("row_key"), F.explode("__errs").alias("e"))
+            f.select(F.col("__row_key").cast("string").alias("row_key"), F.explode("__errs").alias("e"))
             .select("row_key", "e.path", "e.code", "e.message", "e.context")
         )
 

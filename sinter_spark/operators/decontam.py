@@ -71,6 +71,27 @@ def _tokenize(text_col: str) -> Column:
     )
 
 
+def gram_keys(tokens: Column, n: int) -> Column:
+    """Array of 8-byte n-gram keys (``xxhash64`` over each length-``n``
+    token slice) from a token-array column — the ``hash_grams`` twin of
+    :func:`ngrams` that never materializes a gram string.
+
+    Key equality ≡ token-sequence equality ≡ joined-string equality
+    (tokens are whitespace splits, so the single-space join is
+    injective), up to an xxhash64 collision (P ≈ grams·bench/2⁶⁴).
+    Building the key hashes the slice elements directly — no per-gram
+    array_join allocation, and every downstream surface (distinct,
+    broadcast build, join probe) moves 8-byte longs instead of ~n-word
+    strings (guide §2.3 narrower types / §4.2 cheap per-row work).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    n_tok = F.size(tokens)
+    starts = F.sequence(F.lit(1), n_tok - (n - 1))
+    keys = F.transform(starts, lambda i: F.xxhash64(F.slice(tokens, i, n)))
+    return F.when(n_tok >= n, keys).otherwise(F.array().cast("array<bigint>"))
+
+
 def contamination(
     df: DataFrame,
     benchmark_df: DataFrame,
@@ -96,34 +117,40 @@ def contamination(
     reduced by a single map-side-combined groupBy on the unique doc
     id. See the module docstring.
 
-    ``hash_grams=True`` joins on ``xxhash64(gram)`` instead of the
-    gram string — the exploded join column and the broadcast keys drop
-    from ~n·word bytes to 8 bytes each (the thing that matters when
-    the broadcast side is a large eval suite). An xxhash64 collision
-    between a corpus gram and a DIFFERENT benchmark gram would
-    over-count by one (P ≈ grams·bench/2^64 — negligible); the
-    oracled driver query keeps the string join so the DuckDB check
-    stays exact, and the pytest gate pins hashed ≡ string on real
-    corpora.
+    ``hash_grams=True`` joins on 8-byte n-gram keys
+    (:func:`gram_keys` — ``xxhash64`` over the token slice, no gram
+    string ever built) instead of the gram string: gram construction
+    skips the per-gram ``array_join`` allocation and the exploded join
+    column plus the broadcast keys drop from ~n·word bytes to 8 bytes
+    each (the thing that matters when the broadcast side is a large
+    eval suite). An xxhash64 collision between a corpus gram and a
+    DIFFERENT benchmark gram would over-count by one
+    (P ≈ grams·bench/2^64 — negligible); the oracled driver query is
+    pinned hashed ≡ string at every test SF and the pytest gate pins
+    the same on real corpora.
+
+    Both inputs are widened through :func:`plans.widen_small_scan`
+    before the gram build: a single-row-group parquet file otherwise
+    runs the whole tokenize+gram expression on ONE core (guide §2.5
+    input skew — "one huge unsplittable file … repartition immediately
+    after the read"); at scale the widen is a no-op.
     """
-    gram_key = (
-        (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    )
+    from ..plans import widen_small_scan
+
+    make_grams = (lambda t: gram_keys(t, n)) if hash_grams else (lambda t: ngrams(t, n))
     bench_grams = (
-        benchmark_df.select(_tokenize(text_col).alias("_t"))
-        .select(F.explode(ngrams(F.col("_t"), n)).alias("_g"))
-        .select(gram_key(F.col("_g")).alias("gram"))
+        widen_small_scan(benchmark_df)
+        .select(_tokenize(text_col).alias("_t"))
+        .select(F.explode(make_grams(F.col("_t"))).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
 
-    docs = df.select(F.col(id_col), _tokenize(text_col).alias("_t")).select(
+    docs = widen_small_scan(df).select(
+        F.col(id_col), _tokenize(text_col).alias("_t")
+    ).select(
         F.col(id_col),
-        F.transform(
-            F.array_distinct(ngrams(F.col("_t"), n)), lambda g: gram_key(g)
-        ).alias("_grams")
-        if hash_grams
-        else F.array_distinct(ngrams(F.col("_t"), n)).alias("_grams"),
+        F.array_distinct(make_grams(F.col("_t"))).alias("_grams"),
     )
     exploded = docs.select(
         F.col(id_col),

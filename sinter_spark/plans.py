@@ -163,6 +163,25 @@ def widen_small_scan(df: DataFrame, *, min_parallelism: int | None = None) -> Da
         except Exception:
             return df
     if splits < max(target // 2, 2):
+        # deterministic hash repartition, not round-robin: a keyless
+        # repartition(n) first pays a LOCAL SORT of its input
+        # (spark.sql.execution.sortBeforeRepartition, on by default
+        # since SPARK-23207) — on the single-task scans this helper
+        # exists for, that sort runs on one core and can cost more
+        # than the widen saves. Hashing the row content is
+        # deterministic under task retries by construction (guide
+        # §2.5: derive synthetic keys deterministically), needs no
+        # sort, and spreads fine for any non-degenerate input. Map
+        # columns are not hashable; fall back to round-robin then.
+        from pyspark.sql import functions as F, types as ST
+
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if not isinstance(f.dataType, (ST.MapType, ST.VariantType))
+        ]
+        if hashable:
+            return df.repartition(target, F.xxhash64(*[F.col(c) for c in hashable]))
         return df.repartition(target)
     return df
 

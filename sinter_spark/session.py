@@ -44,6 +44,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes size(arr) > 0 from every
+        # explode and PushDownPredicates then moves it below any
+        # exchange — for this engine's explodes the array is always a
+        # COMPUTED column (violation arrays, LSH band/bucket arrays,
+        # gram arrays), so the inferred filter re-evaluates the whole
+        # expensive expression on the pre-exchange side (Catalyst does
+        # not CSE across exchanges) and can re-serialize it onto one
+        # core on a single-row-group input. It never reaches parquet
+        # stats (size() is not pushable), so it buys nothing here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -37,22 +37,27 @@ def test_minhash_buckets_zero_exchanges(spark, docs):
 
 
 def _assert_capped_bucket_plan(plan: str) -> None:
-    """The round-5 concentration-proof capped shape (VERDICT_r04 #3):
+    """The round-6 single-pass concentration-proof capped shape
+    (VERDICT_r04 #3 invariant, rebuilt without the round-5 broadcast
+    anti-join):
 
-    * still self-join-free — no shuffled join anywhere; the ONLY join
-      is the broadcast LEFT ANTI that drops oversized keys;
-    * the collect aggregate's input IS that anti-join (pre-filtered),
-      so no degenerate key can materialize an unbounded member array
-      in one aggregation state — the tree prints parent-first, so the
-      collect must appear above the join that feeds it;
-    * both consumers (pair probe + oversized-key count build) read the
-      ONE persisted member table, never recomputing signatures.
+    * join-free entirely — no join operator of any kind (round 5 still
+      paid a broadcast LEFT ANTI + its build job);
+    * the collect aggregate's state is bounded BEFORE aggregation: a
+      window ``dense_rank`` over the bucket key ranks each key's
+      distinct members through the spillable external sort and only
+      ranks ≤ max_bucket enter ``collect_list`` (the same
+      rank-before-collect pattern as ``exact_dup_groups``) — the tree
+      prints parent-first, so the collect must appear above the window
+      that feeds it;
+    * ONE persisted bounded bucket table (audit + pair probe share
+      it), never recomputing signatures.
     """
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 1
-    assert "LeftAnti" in plan
-    assert plan.index("collect_list") < plan.index("BroadcastHashJoin")
-    assert plan.count("InMemoryTableScan") == 2
+    assert "Join" not in plan
+    assert "dense_rank" in plan
+    assert "collect_list(CASE WHEN" in plan
+    assert plan.index("collect_list") < plan.index("dense_rank")
+    assert plan.count("InMemoryTableScan") == 1
 
 
 def test_lsh_candidates_anti_join_prefiltered_collect(spark, docs):

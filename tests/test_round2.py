@@ -97,13 +97,20 @@ def test_simhash_rowlocal_equals_grouped(spark, edge_docs, sf_dir):
 
 def test_minhash_signature_plan_is_shuffle_free(spark, sf_dir):
     """The signature COMPUTATION is a pure projection: no aggregation
-    shuffle anywhere. (A tiny single-file scan gets one RoundRobin
-    repartition from widen_small_scan — that's input widening, not a
-    computation shuffle, and disappears on any real-scale table.)"""
+    shuffle anywhere. (A tiny single-file scan gets one widen
+    repartition from widen_small_scan — since round 6 keyed on
+    xxhash64(row) rather than round-robin, which would pay a local
+    sort — that's input widening, not a computation shuffle, and
+    disappears on any real-scale table.)"""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     for q in (dedup.minhash_signatures(docs), dedup.simhash(docs)):
         plan = q._jdf.queryExecution().executedPlan().toString()
-        assert "hashpartitioning" not in plan
+        # the only partitioning allowed is the widen's content-hash key
+        # — never a grouping key like doc_id (that would mean an
+        # explode+groupBy signature shape crept back in)
+        assert plan.count("hashpartitioning") == plan.count(
+            "hashpartitioning(xxhash64"
+        )
         assert "HashAggregate" not in plan
     # non-file input: zero exchanges of any kind
     mem = spark.createDataFrame([("a", "hello world abcdef")], "doc_id string, text string")
