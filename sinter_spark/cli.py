@@ -350,7 +350,19 @@ def cmd_dedup(args) -> int:
     losers = None  # (id_col) rows to drop for the canonical output
 
     if args.method == "exact":
-        groups = dd.exact_dup_groups(df, text_col, id_col)
+        # NULL-text rows are never duplicates of each other:
+        # fingerprint(NULL) is NULL (SQL semantics, matching
+        # bloom.dedup_against's always-keep-NULL contract), but a
+        # plain groupBy would lump every NULL fingerprint into one
+        # "dup group" and the non-null-safe loser anti-join would then
+        # drop ALL of them (none equals its keeper) — silently deleting
+        # every null-text row from canonical/ and tripping
+        # --fail-on-dups on corpora whose only "duplicates" are NULLs.
+        # Filter NULL fingerprints out of the whole derivation; the
+        # rows still pass through to canonical/ untouched.
+        groups = dd.exact_dup_groups(df, text_col, id_col).where(
+            F.col("fp").isNotNull()
+        )
         groups.write.mode("overwrite").parquet(os.path.join(args.output, "groups"))
         groups = spark.read.parquet(os.path.join(args.output, "groups"))
         metrics["dup_groups"] = groups.count()
@@ -361,7 +373,9 @@ def cmd_dedup(args) -> int:
             # keep the minimum id per fingerprint; losers = the rest.
             # Derived from the fingerprint projection (one agg + join),
             # NOT from the capped doc_ids sample in groups/.
-            fp = df.select(F.col(id_col), dd.fingerprint(text_col).alias("fp"))
+            fp = df.select(F.col(id_col), dd.fingerprint(text_col).alias("fp")).where(
+                F.col("fp").isNotNull()
+            )
             keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
             losers = fp.join(keep, ["fp", id_col], "left_anti").select(id_col)
     else:
@@ -548,8 +562,32 @@ def cmd_dedup_against(args) -> int:
     ref = _read(spark, args.reference, args.format, args.csv_header)
     t0 = time.perf_counter()
     flt = None
+    bloom_in_prov: dict | None = None
     if args.bloom_in:
         flt = bloom.BloomFilter.load(args.bloom_in)
+        # exactness contract: a filter built against a DIFFERENT
+        # reference has genuine false negatives (true duplicates skip
+        # the confirm join and are silently KEPT) — verify the stamped
+        # provenance against the current --reference before trusting it
+        if flt.digest is not None:
+            n_now, d_now = bloom.reference_provenance(ref, args.text_col)
+            if (flt.n_ref, flt.digest) != (n_now, d_now):
+                raise SystemExit(
+                    f"--bloom-in {args.bloom_in}: filter was built from a "
+                    f"different reference (saved rows={flt.n_ref} "
+                    f"digest={flt.digest}; current rows={n_now} "
+                    f"digest={d_now}) — results would silently keep true "
+                    "duplicates; rebuild with --bloom-out or drop --bloom-in"
+                )
+            bloom_in_prov = {"rows": n_now, "digest": d_now, "verified": True}
+        else:
+            print(
+                f"warning: {args.bloom_in} is a pre-provenance (SBLM0001) "
+                "filter — cannot verify it matches --reference; results are "
+                "only exact if it does",
+                file=sys.stderr,
+            )
+            bloom_in_prov = {"rows": None, "digest": None, "verified": False}
     elif not args.no_bloom:
         flt = bloom.build_bloom(ref, args.text_col, fpr=args.fpr)
         if args.bloom_out:
@@ -574,6 +612,7 @@ def cmd_dedup_against(args) -> int:
             "dropped_docs": n_docs - n_kept,
             "bloom": not args.no_bloom,
             "fpr": args.fpr,
+            **({"bloom_in": bloom_in_prov} if bloom_in_prov is not None else {}),
             "elapsed_sec": round(time.perf_counter() - t0, 3),
         },
     )
@@ -618,7 +657,30 @@ def cmd_pipeline(args) -> int:
     id_col, text_col = args.id_col, args.text_col
     t0 = time.perf_counter()
     stages: list[dict] = []
-    n = df.count()
+    # id_col hygiene up front (ADVICE r5): the quality stage's
+    # left_semi and the scrub stage's inner join rejoin on id_col with
+    # plain equality — NULL ids would silently vanish there (and
+    # duplicated ids fan the scrub join out) long before packing's
+    # loud null-id exclusion, with the loss misattributed to the
+    # stage's own filtering. Fail loudly once, mirroring
+    # packing._require_integral_key.
+    row0 = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col(id_col).isNull().cast("long")), F.lit(0)).alias("n_null"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+    ).collect()[0]
+    n = int(row0["n"])
+    if int(row0["n_null"]):
+        raise SystemExit(
+            f"pipeline: {row0['n_null']} rows have NULL {id_col!r} — stage "
+            "rejoins would silently drop them; assign ids first "
+            f"(e.g. monotonically_increasing_id) or filter NULL {id_col!r}"
+        )
+    if int(row0["n_ids"]) != n:
+        raise SystemExit(
+            f"pipeline: {id_col!r} is not unique ({row0['n_ids']} distinct over "
+            f"{n} rows) — stage rejoins would fan out duplicated ids"
+        )
 
     def _stage_committed(name: str) -> bool:
         """True when --resume can reuse stage_<next-index>_<name>."""

@@ -108,26 +108,42 @@ class BloomFilter:
     Persistable: ``save``/``load`` round-trip the filter so a build
     over a slow-moving reference corpus is paid once and reused by
     later runs (`dedup_against(bloom=BloomFilter.load(path))`).
+
+    ``n_ref`` / ``digest`` record the reference the filter was built
+    from (row count + order-independent ``bit_xor`` of the ``_h1``
+    probe hashes — :func:`reference_provenance`). A persisted filter
+    reused against a DIFFERENT reference produces genuine false
+    negatives (true duplicates silently kept: the filter says
+    "definitely absent" for keys it never saw), so loaders should
+    verify provenance before trusting the exactness contract — the
+    CLI's ``dedup-against --bloom-in`` does, and refuses on mismatch.
+    Filters saved by older builds (``SBLM0001``) load with provenance
+    ``None``: unverifiable, caveat emptor.
     """
 
     bits: np.ndarray  # uint8, length m//8
     k: int
+    n_ref: int | None = None
+    digest: int | None = None
 
-    #: format tag guarding against reading a foreign/old file layout
-    _MAGIC = b"SBLM0001"
+    #: format tags guarding against reading a foreign/old file layout
+    _MAGIC = b"SBLM0002"
+    _MAGIC_V1 = b"SBLM0001"
 
     @property
     def m(self) -> int:
         return len(self.bits) * 8
 
     def save(self, path: str) -> None:
-        """Write magic | k (8-byte LE) | bitmap to ``path``."""
+        """Write magic | k | n_ref | digest (8-byte LE each) | bitmap."""
         import os
 
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(self._MAGIC)
             f.write(int(self.k).to_bytes(8, "little"))
+            f.write(int(self.n_ref or 0).to_bytes(8, "little"))
+            f.write(int(self.digest or 0).to_bytes(8, "little", signed=True))
             f.write(self.bits.tobytes())
         os.replace(tmp, path)  # atomic publish
 
@@ -135,13 +151,20 @@ class BloomFilter:
     def load(cls, path: str) -> "BloomFilter":
         with open(path, "rb") as f:
             magic = f.read(len(cls._MAGIC))
-            if magic != cls._MAGIC:
+            if magic == cls._MAGIC:
+                k = int.from_bytes(f.read(8), "little")
+                n_ref = int.from_bytes(f.read(8), "little")
+                digest = int.from_bytes(f.read(8), "little", signed=True)
+                bits = np.frombuffer(f.read(), dtype=np.uint8)
+            elif magic == cls._MAGIC_V1:
+                k = int.from_bytes(f.read(8), "little")
+                n_ref, digest = None, None
+                bits = np.frombuffer(f.read(), dtype=np.uint8)
+            else:
                 raise ValueError(f"{path}: not a sinter bloom filter")
-            k = int.from_bytes(f.read(8), "little")
-            bits = np.frombuffer(f.read(), dtype=np.uint8)
         if k < 1 or len(bits) == 0:
             raise ValueError(f"{path}: corrupt bloom filter (k={k}, m={len(bits) * 8})")
-        return cls(bits=bits, k=k)
+        return cls(bits=bits, k=k, n_ref=n_ref, digest=digest)
 
     def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         pos = _positions(h1, h2, self.k, self.m)
@@ -150,6 +173,27 @@ class BloomFilter:
             np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
         )
         return ((self.bits[byte] & mask) == mask).all(axis=1)
+
+
+def reference_provenance(
+    reference_df: DataFrame, text_col: str = "text"
+) -> tuple[int, int]:
+    """(row count, order-independent digest) identifying a reference
+    corpus for Bloom-filter reuse: ``bit_xor`` of the ``_h1`` probe
+    hash over every row (the same JVM-side hash the filter bits are
+    set from, NULL text coalesced to "" exactly as the probe does).
+    One columnar aggregate — partition- and order-independent, so the
+    same corpus yields the same digest under any layout."""
+    h1, _ = _hash_cols(text_col)
+    row = (
+        reference_df.select(h1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(_h1)"), F.lit(0)).alias("x"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["x"])
 
 
 def build_bloom(
@@ -169,12 +213,18 @@ def build_bloom(
     volume is partitions × m/8 regardless of reference row count —
     the rows themselves never move.
 
-    ``expected_n`` defaults to a count of the reference (one cheap
-    aggregate); pass it when known to skip that job.
+    ``expected_n`` defaults to the reference row count; either way ONE
+    aggregate over the hash projection computes the count together
+    with the provenance digest the filter is stamped with
+    (:func:`reference_provenance` — what lets a persisted filter be
+    verified against the reference it is later used for). Passing
+    ``expected_n`` only overrides the SIZING, it no longer skips the
+    aggregate.
     """
     hashed = reference_df.select(*_hash_cols(text_col))
+    n_ref, digest = reference_provenance(reference_df, text_col)
     if expected_n is None:
-        expected_n = hashed.count()
+        expected_n = n_ref
     m, k = bloom_params(expected_n, fpr)
     n_bytes = m // 8
     n_chunks = (n_bytes + _CHUNK_BYTES - 1) // _CHUNK_BYTES
@@ -234,7 +284,7 @@ def build_bloom(
         lo = row.chunk_id * _CHUNK_BYTES
         arr = np.frombuffer(row.bits, dtype=np.uint8)
         bits[lo : lo + len(arr)] |= arr
-    return BloomFilter(bits=bits, k=k)
+    return BloomFilter(bits=bits, k=k, n_ref=n_ref, digest=digest)
 
 
 def dedup_against(

@@ -3,13 +3,16 @@
 Images/audio/video travel as ``binary`` columns with typed metadata
 (the image table's (bytes, w, h, fmt) is the pattern). The Spark-side
 plumbing — schema contracts, Arrow batch shape, partition sizing — is
-real and tested. Decode is REAL for every builtin codec (raw/png/qjpg
-images via ``images/codecs.py``; ``rawvid`` video with indexed O(k)
-frame seek via ``images/video.py``); only external-library formats
-(jpeg/mp3/mp4…) are STUBBED behind ``NotImplementedError`` or a
-clearly-marked deterministic fake, because no imaging/audio libs ship
-in this container (SURVEY.md §7.0). Swapping a stub for Pillow/ffmpeg
-changes one function, not the plumbing.
+real and tested. Decode is REAL for every builtin codec
+(raw/png/qjpg, and since round 4 baseline+progressive JPEG and
+GIF87a/89a, all via ``images/codecs.py``; ``rawvid`` video and
+animated-GIF clips with indexed/sequential frame decode via
+``images/video.py``; RIFF/WAV audio via ``operators/audio.py``); only
+formats that require external native libraries (mp3/mp4/flac/webm…)
+are STUBBED behind ``NotImplementedError`` or a clearly-marked
+deterministic fake, because no imaging/audio libs ship in this
+container (SURVEY.md §7.0). Swapping a stub for Pillow/ffmpeg changes
+one function, not the plumbing.
 
 Scale note: every operator here is ``mapInPandas`` over Arrow batches
 (no per-row Python round trips) and prunes to exactly the columns it

@@ -201,6 +201,57 @@ class TestPersistence:
         with pytest.raises(ValueError):
             BloomFilter.load(str(p))
 
+    def test_provenance_round_trip(self, spark, tmp_path):
+        """ADVICE r5 (medium): a saved filter carries the reference's
+        (row count, order-independent digest) and round-trips them."""
+        from sinter_spark.operators.bloom import reference_provenance
+
+        ref = _docs(spark, [(i, f"prov {i}") for i in range(40)])
+        flt = build_bloom(ref, fpr=0.01)
+        n, d = reference_provenance(ref)
+        assert (flt.n_ref, flt.digest) == (n, d) and flt.n_ref == 40
+        # digest is partition/order independent
+        n2, d2 = reference_provenance(ref.repartition(7))
+        assert (n2, d2) == (n, d)
+        p = str(tmp_path / "prov.bloom")
+        flt.save(p)
+        back = BloomFilter.load(p)
+        assert (back.n_ref, back.digest) == (n, d)
+        assert (back.bits == flt.bits).all() and back.k == flt.k
+
+    def test_legacy_v1_loads_without_provenance(self, spark, tmp_path):
+        ref = _docs(spark, [(i, f"old {i}") for i in range(10)])
+        flt = build_bloom(ref, fpr=0.01)
+        p = tmp_path / "v1.bloom"
+        p.write_bytes(
+            BloomFilter._MAGIC_V1
+            + int(flt.k).to_bytes(8, "little")
+            + flt.bits.tobytes()
+        )
+        back = BloomFilter.load(str(p))
+        assert back.n_ref is None and back.digest is None
+        assert (back.bits == flt.bits).all()
+
+    def test_cli_bloom_in_rejects_stale_filter(self, spark, tmp_path):
+        """A filter persisted against a different reference must be
+        refused: it would silently KEEP true duplicates."""
+        from sinter_spark.cli import build_parser, cmd_dedup_against
+
+        src = tmp_path / "docs.parquet"
+        refp = tmp_path / "ref.parquet"
+        _docs(spark, [(1, "keep me"), (2, "drop me")]).write.parquet(str(src))
+        _docs(spark, [(9, "drop me")]).write.parquet(str(refp))
+        stale = str(tmp_path / "stale.bloom")
+        other_ref = _docs(spark, [(7, "entirely different corpus")])
+        build_bloom(other_ref, fpr=0.01).save(stale)
+        out = tmp_path / "stale_out"
+        args = build_parser().parse_args(
+            ["dedup-against", "--input", str(src), "--reference", str(refp),
+             "--output", str(out), "--bloom-in", stale]
+        )
+        with pytest.raises(SystemExit, match="different reference"):
+            cmd_dedup_against(args)
+
     def test_cli_bloom_out_in(self, spark, tmp_path):
         import json as _json
 

@@ -427,6 +427,45 @@ class TestDedupCommand:
         }
         assert kept == {"a", "c"}  # min-id canonical survives
 
+    def test_exact_canonical_keeps_null_text_rows(self, spark, tmp_path):
+        """ADVICE r5 (high): NULL-text rows must pass through exact
+        canonical dedup untouched — fingerprint(NULL) is NULL, and the
+        old derivation lumped all NULL fps into one 'dup group' whose
+        non-null-safe anti-join then dropped EVERY null-text row."""
+        from sinter_spark.cli import cmd_dedup
+
+        rows = [("a", "same text"), ("b", "same text"), ("n1", None), ("n2", None)]
+        src = tmp_path / "docs.parquet"
+        spark.createDataFrame(rows, "doc_id string, text string").write.parquet(str(src))
+        out = tmp_path / "dd"
+        args = build_parser().parse_args(
+            ["dedup", "--input", str(src), "--output", str(out),
+             "--method", "exact", "--canonical"]
+        )
+        assert cmd_dedup(args) == 0
+        metrics = json.loads((out / "metrics.json").read_text())
+        # only the real text dup group counts — not the NULL group
+        assert metrics["dup_groups"] == 1 and metrics["dup_docs"] == 2
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(out / "canonical")).collect()
+        }
+        assert kept == {"a", "n1", "n2"}  # both null-text rows survive
+
+    def test_exact_fail_on_dups_ignores_null_only_corpus(self, spark, tmp_path):
+        from sinter_spark.cli import cmd_dedup
+
+        rows = [("n1", None), ("n2", None), ("c", "unique")]
+        src = tmp_path / "docs0.parquet"
+        spark.createDataFrame(rows, "doc_id string, text string").write.parquet(str(src))
+        out = tmp_path / "dd0"
+        args = build_parser().parse_args(
+            ["dedup", "--input", str(src), "--output", str(out),
+             "--method", "exact", "--fail-on-dups"]
+        )
+        # a corpus whose only repeated fingerprint is NULL has no dups
+        assert cmd_dedup(args) == 0
+
     def test_winnow_method_runs(self, spark, sf_dir, tmp_path):
         from sinter_spark.cli import cmd_dedup
 
@@ -591,6 +630,36 @@ class TestDedupAgainstCommand:
 
 
 class TestPipelineCommand:
+    def test_null_or_duplicate_ids_fail_loudly(self, spark, tmp_path):
+        """ADVICE r5 (low): stage rejoins on id_col use plain equality,
+        so NULL/duplicated ids would silently drop or fan out rows —
+        the pipeline must refuse them up front."""
+        import pytest
+
+        from sinter_spark.cli import cmd_pipeline
+
+        out = tmp_path / "plbad"
+        nulls = tmp_path / "nulls.parquet"
+        spark.createDataFrame(
+            [(1, "a", "s"), (None, "b", "s")], "doc_id long, text string, source string"
+        ).write.parquet(str(nulls))
+        args = build_parser().parse_args(
+            ["pipeline", "--input", str(nulls), "--output", str(out),
+             "--scrub", "--chunk-tokens", "64"]
+        )
+        with pytest.raises(SystemExit, match="NULL 'doc_id'"):
+            cmd_pipeline(args)
+        dups = tmp_path / "dups.parquet"
+        spark.createDataFrame(
+            [(1, "a", "s"), (1, "b", "s")], "doc_id long, text string, source string"
+        ).write.parquet(str(dups))
+        args = build_parser().parse_args(
+            ["pipeline", "--input", str(dups), "--output", str(out),
+             "--scrub", "--chunk-tokens", "64"]
+        )
+        with pytest.raises(SystemExit, match="not unique"):
+            cmd_pipeline(args)
+
     def test_stage_chain_matches_library(self, spark, sf_dir, tmp_path):
         from pyspark.sql import functions as F
 
