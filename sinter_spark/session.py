@@ -57,6 +57,17 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # always use the sort-based shuffle writer: below the default
+        # bypassMergeThreshold (200 reduce partitions) Spark's bypass
+        # writer creates one file PER REDUCER per map task — 64×64 =
+        # 4096 file creates for a 64-partition local shuffle, which on
+        # this VM's high-latency disk taxed EVERY shuffle ~1.3 s
+        # regardless of data size (measured: a 33k-row repartition
+        # round trip 1.6 s → 0.4 s with the sort writer). The sort
+        # writer emits one data+index file per map task — exactly what
+        # any production shuffle with R > 200 uses anyway, so this
+        # aligns local behavior with scale instead of diverging from it
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
