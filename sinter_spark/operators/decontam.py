@@ -138,15 +138,18 @@ def contamination(
     from ..plans import widen_small_scan
 
     make_grams = (lambda t: gram_keys(t, n)) if hash_grams else (lambda t: ngrams(t, n))
+    # project to the columns each side actually needs BEFORE the widen
+    # (guide §2.3: project before the exchange — the widen's hash key
+    # and shuffle must not carry unused columns)
     bench_grams = (
-        widen_small_scan(benchmark_df)
+        widen_small_scan(benchmark_df.select(F.col(text_col)))
         .select(_tokenize(text_col).alias("_t"))
         .select(F.explode(make_grams(F.col("_t"))).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
 
-    docs = widen_small_scan(df).select(
+    docs = widen_small_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), _tokenize(text_col).alias("_t")
     ).select(
         F.col(id_col),
