@@ -33,21 +33,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Widened table read for compute-heavy row-local query paths.
-
-    The driver testdata writes each table as ONE parquet row group, an
-    indivisible unit for scan parallelism — a fused scan+expression
-    stage then runs on a single core no matter the split count (guide
-    §2.5 input skew: "one huge unsplittable file … repartition
-    immediately after the read"). The widen repartitions only when the
-    scan has fewer splits than half the cores, so on any real-scale
-    table (or multi-file input) it is a no-op and adds no shuffle."""
-    from sinter_spark.plans import widen_small_scan
-
-    return widen_small_scan(_t(spark, sf_dir, name))
-
-
 def events_schema() -> Schema:
     """Flagship sinter schema over the events table."""
     return Schema.define(

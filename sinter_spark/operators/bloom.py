@@ -110,8 +110,9 @@ class BloomFilter:
     later runs (`dedup_against(bloom=BloomFilter.load(path))`).
 
     ``n_ref`` / ``digest`` record the reference the filter was built
-    from (row count + order-independent ``bit_xor`` of the ``_h1``
-    probe hashes — :func:`reference_provenance`). A persisted filter
+    from (count + order-independent ``bit_xor`` of its DISTINCT
+    ``_h1`` probe hashes — :func:`reference_provenance`; the filter's
+    bits are a pure function of that distinct set). A persisted filter
     reused against a DIFFERENT reference produces genuine false
     negatives (true duplicates silently kept: the filter says
     "definitely absent" for keys it never saw), so loaders should
@@ -135,15 +136,25 @@ class BloomFilter:
         return len(self.bits) * 8
 
     def save(self, path: str) -> None:
-        """Write magic | k | n_ref | digest (8-byte LE each) | bitmap."""
+        """Write magic | k | has_prov (1 byte) | n_ref | digest
+        (8-byte LE each) | bitmap. The explicit flag keeps a filter
+        constructed WITHOUT provenance (``BloomFilter(bits, k)``)
+        honest across a save/load round trip: it must come back as
+        "unverifiable" (None), not as a claimed provenance of (0, 0)
+        that any loader would then hard-refuse against a real
+        reference."""
         import os
 
+        has_prov = self.n_ref is not None and self.digest is not None
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(self._MAGIC)
             f.write(int(self.k).to_bytes(8, "little"))
-            f.write(int(self.n_ref or 0).to_bytes(8, "little"))
-            f.write(int(self.digest or 0).to_bytes(8, "little", signed=True))
+            f.write(b"\x01" if has_prov else b"\x00")
+            f.write(int(self.n_ref if has_prov else 0).to_bytes(8, "little"))
+            f.write(
+                int(self.digest if has_prov else 0).to_bytes(8, "little", signed=True)
+            )
             f.write(self.bits.tobytes())
         os.replace(tmp, path)  # atomic publish
 
@@ -153,8 +164,11 @@ class BloomFilter:
             magic = f.read(len(cls._MAGIC))
             if magic == cls._MAGIC:
                 k = int.from_bytes(f.read(8), "little")
+                has_prov = f.read(1) == b"\x01"
                 n_ref = int.from_bytes(f.read(8), "little")
                 digest = int.from_bytes(f.read(8), "little", signed=True)
+                if not has_prov:
+                    n_ref, digest = None, None
                 bits = np.frombuffer(f.read(), dtype=np.uint8)
             elif magic == cls._MAGIC_V1:
                 k = int.from_bytes(f.read(8), "little")
@@ -178,15 +192,23 @@ class BloomFilter:
 def reference_provenance(
     reference_df: DataFrame, text_col: str = "text"
 ) -> tuple[int, int]:
-    """(row count, order-independent digest) identifying a reference
-    corpus for Bloom-filter reuse: ``bit_xor`` of the ``_h1`` probe
-    hash over every row (the same JVM-side hash the filter bits are
-    set from, NULL text coalesced to "" exactly as the probe does).
-    One columnar aggregate — partition- and order-independent, so the
-    same corpus yields the same digest under any layout."""
+    """(distinct-fingerprint count, order-independent digest)
+    identifying a reference corpus for Bloom-filter reuse: ``bit_xor``
+    of the DISTINCT ``_h1`` probe hashes (the same JVM-side hash the
+    filter bits are set from, NULL text coalesced to "" exactly as the
+    probe does). The filter's bits are a pure function of the distinct
+    fingerprint set — not of row multiplicities — so the identity is
+    over that set too; two references with the same distinct texts but
+    different duplication produce identical filters and identical
+    provenance, both correctly. Digesting over DISTINCT values also
+    means xor's self-cancellation cannot fire (each value contributes
+    once): without the distinct, any corpus whose texts all repeat an
+    even number of times would digest to 0 and collide with every
+    other such corpus. Partition- and order-independent."""
     h1, _ = _hash_cols(text_col)
     row = (
         reference_df.select(h1)
+        .distinct()
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(_h1)"), F.lit(0)).alias("x"),

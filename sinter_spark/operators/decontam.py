@@ -140,9 +140,14 @@ def contamination(
     make_grams = (lambda t: gram_keys(t, n)) if hash_grams else (lambda t: ngrams(t, n))
     # project to the columns each side actually needs BEFORE the widen
     # (guide §2.3: project before the exchange — the widen's hash key
-    # and shuffle must not carry unused columns)
+    # and shuffle must not carry unused columns). The benchmark side
+    # keeps its id column (when it has one) purely as the widen's
+    # spreading key: a text-only projection would hash duplicate
+    # benchmark prompts — common in eval suites — onto one partition,
+    # re-serializing the gram build the widen exists to parallelize.
+    bench_cols = [c for c in (id_col, text_col) if c in benchmark_df.columns]
     bench_grams = (
-        widen_small_scan(benchmark_df.select(F.col(text_col)))
+        widen_small_scan(benchmark_df.select(*[F.col(c) for c in bench_cols or [text_col]]))
         .select(_tokenize(text_col).alias("_t"))
         .select(F.explode(make_grams(F.col("_t"))).alias("gram"))
         .distinct()

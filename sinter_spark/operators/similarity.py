@@ -58,8 +58,11 @@ def cosine_topk(
     sim = cosine(F.col(vec_col), q)
     if round_to is not None:
         sim = F.round(sim, round_to)
+    # project before the widen (guide §2.3): the exchange and its
+    # content-hash key must carry only (id, vector)
     return (
-        widen_small_scan(df).select(F.col(id_col), sim.alias("cos_sim"))
+        widen_small_scan(df.select(F.col(id_col), F.col(vec_col)))
+        .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -219,6 +219,36 @@ class TestPersistence:
         assert (back.n_ref, back.digest) == (n, d)
         assert (back.bits == flt.bits).all() and back.k == flt.k
 
+    def test_provenance_ignores_duplication_and_even_multiplicity(self, spark):
+        """The digest identifies the DISTINCT fingerprint set (what the
+        filter's bits are a function of): duplication changes nothing,
+        and the even-multiplicity xor-cancellation trap cannot fire
+        (two all-even-multiplicity corpora with different texts must
+        NOT collide at digest 0)."""
+        from sinter_spark.operators.bloom import reference_provenance
+
+        a = _docs(spark, [(0, "x"), (1, "x"), (2, "y"), (3, "y")])
+        b = _docs(spark, [(0, "w"), (1, "w"), (2, "z"), (3, "z")])
+        na, da = reference_provenance(a)
+        nb, db = reference_provenance(b)
+        assert na == nb == 2
+        assert da != db  # per-row xor would give 0 == 0 here
+        # duplication-invariant: same distinct texts, different copies
+        a_once = _docs(spark, [(0, "x"), (1, "y")])
+        assert reference_provenance(a_once) == (na, da)
+
+    def test_save_without_provenance_round_trips_as_unverifiable(self, spark, tmp_path):
+        ref = _docs(spark, [(i, f"anon {i}") for i in range(12)])
+        built = build_bloom(ref, fpr=0.01)
+        bare = BloomFilter(bits=built.bits, k=built.k)  # no provenance
+        p = str(tmp_path / "bare.bloom")
+        bare.save(p)
+        back = BloomFilter.load(p)
+        # must come back unverifiable (None), NOT a claimed (0, 0)
+        # that dedup-against --bloom-in would hard-refuse
+        assert back.n_ref is None and back.digest is None
+        assert (back.bits == built.bits).all()
+
     def test_legacy_v1_loads_without_provenance(self, spark, tmp_path):
         ref = _docs(spark, [(i, f"old {i}") for i in range(10)])
         flt = build_bloom(ref, fpr=0.01)
